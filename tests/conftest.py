@@ -1,0 +1,23 @@
+"""Test config: force CPU with an 8-device virtual mesh so sharding tests run
+without TPU hardware (SURVEY.md §4d)."""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Force-override: the ambient env may point at a TPU tunnel (and the site
+# customization may already have imported jax with JAX_PLATFORMS=axon), but
+# tests always run on the virtual CPU mesh. Setting os.environ alone is not
+# enough once jax has been imported, so also update jax.config directly.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+# NOTE: x64 is intentionally NOT enabled: tests run at the same float32
+# precision the TPU path uses, so numerical robustness issues surface in CI.

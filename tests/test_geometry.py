@@ -1,0 +1,169 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from orb_slam2_with_comment_tpu.geometry import se3, sim3, triangulate
+from orb_slam2_with_comment_tpu.models import PinholeCamera, StereoCamera
+
+rng = np.random.RandomState(0)
+
+
+def random_rotations(n, scale=np.pi * 0.9):
+    w = rng.randn(n, 3)
+    w = w / np.linalg.norm(w, axis=-1, keepdims=True) * rng.uniform(0, scale, (n, 1))
+    return np.asarray(se3.exp_so3(jnp.asarray(w, jnp.float32)))
+
+
+class TestSO3:
+    def test_exp_log_roundtrip(self):
+        w = rng.randn(64, 3).astype(np.float32) * 1.5
+        R = se3.exp_so3(jnp.asarray(w))
+        w2 = se3.log_so3(R)
+        R2 = se3.exp_so3(w2)
+        # float32: arccos near theta=pi amplifies rounding; 5e-4 is fine for SLAM
+        np.testing.assert_allclose(np.asarray(R), np.asarray(R2), atol=5e-4)
+
+    def test_exp_small_angle(self):
+        w = jnp.asarray([[1e-9, 0, 0], [0.0, 0, 0]], jnp.float32)
+        R = se3.exp_so3(w)
+        np.testing.assert_allclose(np.asarray(R), np.tile(np.eye(3), (2, 1, 1)), atol=1e-6)
+
+    def test_log_near_pi(self):
+        axis = np.array([[0.0, 0.0, 1.0], [1.0, 0.0, 0.0]], np.float32)
+        theta = np.float32(np.pi - 1e-4)
+        R = se3.exp_so3(jnp.asarray(axis * theta))
+        w = np.asarray(se3.log_so3(R))
+        R2 = np.asarray(se3.exp_so3(jnp.asarray(w)))
+        np.testing.assert_allclose(np.asarray(R), R2, atol=1e-4)
+
+    def test_orthonormal(self):
+        R = random_rotations(32)
+        eye = np.einsum("nij,nkj->nik", R, R)
+        np.testing.assert_allclose(eye, np.tile(np.eye(3), (32, 1, 1)), atol=1e-5)
+
+    def test_quat_roundtrip(self):
+        R = random_rotations(64)
+        q = se3.matrix_to_quat(jnp.asarray(R))
+        R2 = se3.quat_to_matrix(q)
+        np.testing.assert_allclose(R, np.asarray(R2), atol=1e-5)
+
+
+class TestSE3:
+    def test_exp_log_roundtrip(self):
+        xi = rng.randn(32, 6).astype(np.float32)
+        R, t = se3.exp_se3(jnp.asarray(xi))
+        xi2 = se3.log_se3(R, t)
+        R2, t2 = se3.exp_se3(xi2)
+        np.testing.assert_allclose(np.asarray(R), np.asarray(R2), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(t), np.asarray(t2), atol=2e-4)
+
+    def test_compose_inverse(self):
+        xi = rng.randn(16, 6).astype(np.float32)
+        R, t = se3.exp_se3(jnp.asarray(xi))
+        Ri, ti = se3.inverse(R, t)
+        Rc, tc = se3.compose(R, t, Ri, ti)
+        np.testing.assert_allclose(np.asarray(Rc), np.tile(np.eye(3), (16, 1, 1)), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(tc), np.zeros((16, 3)), atol=1e-5)
+
+    def test_retract_zero(self):
+        xi = rng.randn(8, 6).astype(np.float32)
+        R, t = se3.exp_se3(jnp.asarray(xi))
+        R2, t2 = se3.retract(R, t, jnp.zeros((8, 6), jnp.float32))
+        np.testing.assert_allclose(np.asarray(R), np.asarray(R2), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(t), np.asarray(t2), atol=1e-6)
+
+
+class TestSim3:
+    def test_exp_log_roundtrip(self):
+        xi = rng.randn(32, 7).astype(np.float32)
+        xi[:, 6] *= 0.3  # modest scale changes
+        R, t, s = sim3.exp(jnp.asarray(xi))
+        xi2 = sim3.log(R, t, s)
+        R2, t2, s2 = sim3.exp(xi2)
+        np.testing.assert_allclose(np.asarray(R), np.asarray(R2), atol=3e-5)
+        np.testing.assert_allclose(np.asarray(t), np.asarray(t2), atol=1e-3)
+        np.testing.assert_allclose(np.asarray(s), np.asarray(s2), rtol=1e-5)
+
+    def test_sigma_zero_matches_se3(self):
+        xi7 = rng.randn(16, 7).astype(np.float32)
+        xi7[:, 6] = 0.0
+        R, t, s = sim3.exp(jnp.asarray(xi7))
+        R_se, t_se = se3.exp_se3(jnp.asarray(xi7[:, :6]))
+        np.testing.assert_allclose(np.asarray(s), np.ones(16), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(R), np.asarray(R_se), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(t), np.asarray(t_se), atol=1e-4)
+
+    def test_compose_inverse(self):
+        xi = rng.randn(16, 7).astype(np.float32) * 0.5
+        R, t, s = sim3.exp(jnp.asarray(xi))
+        Ri, ti, si = sim3.inverse(R, t, s)
+        Rc, tc, sc = sim3.compose(R, t, s, Ri, ti, si)
+        np.testing.assert_allclose(np.asarray(Rc), np.tile(np.eye(3), (16, 1, 1)), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(tc), np.zeros((16, 3)), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(sc), np.ones(16), atol=1e-5)
+
+    def test_transform_scale(self):
+        R, t, s = sim3.identity((1,))
+        s = s * 2.0
+        X = jnp.asarray([[1.0, 2.0, 3.0]], jnp.float32)
+        Y = sim3.transform(R, t, s, X)
+        np.testing.assert_allclose(np.asarray(Y), [[2.0, 4.0, 6.0]], atol=1e-6)
+
+
+class TestCamera:
+    def _cam(self):
+        return PinholeCamera.create(517.3, 516.5, 318.6, 255.3,
+                                    dist=[0.26, -0.95, -0.005, 0.003, 1.16])
+
+    def test_project_backproject(self):
+        cam = self._cam()
+        Xc = jnp.asarray(rng.uniform([-2, -2, 0.5], [2, 2, 8], (128, 3)), jnp.float32)
+        uv = cam.project(Xc)
+        Xc2 = cam.backproject(uv, Xc[..., 2])
+        np.testing.assert_allclose(np.asarray(Xc), np.asarray(Xc2), rtol=1e-4, atol=1e-4)
+
+    def test_undistort_inverts_distort(self):
+        cam = self._cam()
+        xy = jnp.asarray(rng.uniform(-0.3, 0.3, (64, 2)), jnp.float32)
+        xyd = cam.distort_normalized(xy)
+        uv_dist = jnp.stack([xyd[..., 0] * cam.fx + cam.cx, xyd[..., 1] * cam.fy + cam.cy], -1)
+        uv_undist = cam.undistort_points(uv_dist, iters=20)
+        uv_true = jnp.stack([xy[..., 0] * cam.fx + cam.cx, xy[..., 1] * cam.fy + cam.cy], -1)
+        np.testing.assert_allclose(np.asarray(uv_undist), np.asarray(uv_true), atol=0.1)
+
+    def test_stereo_projection(self):
+        cam = self._cam()
+        st = StereoCamera.create(cam, bf=40.0)
+        Xc = jnp.asarray([[0.5, 0.2, 2.0]], jnp.float32)
+        uvr = st.project_stereo(Xc)
+        disparity = uvr[0, 0] - uvr[0, 2]
+        np.testing.assert_allclose(float(st.depth_from_disparity(disparity)), 2.0, rtol=1e-5)
+
+
+class TestTriangulation:
+    def test_exact_recovery(self):
+        cam = PinholeCamera.create(500.0, 500.0, 320.0, 240.0)
+        K = np.asarray(cam.K)
+        X = rng.uniform([-2, -2, 4], [2, 2, 10], (256, 3)).astype(np.float32)
+        R1, t1 = np.eye(3, dtype=np.float32), np.zeros(3, np.float32)
+        w = np.array([0.02, -0.03, 0.01], np.float32)
+        R2 = np.asarray(se3.exp_so3(jnp.asarray(w)))
+        t2 = np.array([-0.5, 0.05, 0.02], np.float32)
+        P1 = (K @ np.concatenate([R1, t1[:, None]], axis=1)).astype(np.float32)
+        P2 = (K @ np.concatenate([R2, t2[:, None]], axis=1)).astype(np.float32)
+        x1 = np.asarray(cam.project(jnp.asarray(X)))
+        Xc2 = X @ R2.T + t2
+        x2 = np.asarray(cam.project(jnp.asarray(Xc2)))
+        P1b = np.tile(P1, (256, 1, 1))
+        P2b = np.tile(P2, (256, 1, 1))
+        Xr = triangulate.triangulate_dlt(
+            jnp.asarray(P1b), jnp.asarray(P2b), jnp.asarray(x1), jnp.asarray(x2))
+        np.testing.assert_allclose(np.asarray(Xr), X, rtol=2e-2, atol=2e-2)
+
+    def test_parallax_cos(self):
+        C1 = jnp.zeros((1, 3), jnp.float32)
+        C2 = jnp.asarray([[1.0, 0, 0]], jnp.float32)
+        X = jnp.asarray([[0.5, 0, 0.5]], jnp.float32)
+        cos = triangulate.rays_parallax_cos(C1, C2, X)
+        np.testing.assert_allclose(float(cos[0]), 0.0, atol=1e-6)
