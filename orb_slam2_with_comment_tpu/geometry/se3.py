@@ -52,12 +52,13 @@ def exp_so3(w: jax.Array) -> jax.Array:
 def log_so3(R: jax.Array) -> jax.Array:
     """Rotation matrix [..., 3, 3] -> axis-angle [..., 3].
 
-    Handles the theta ~ 0 and theta ~ pi branches; good to ~1e-6 in float32.
+    Numerically robust at theta ~ 0 AND theta ~ pi, and — critically for the
+    optimizers, which differentiate through this via jacfwd — free of NaN
+    gradients: theta comes from atan2(|vee|/2, (tr-1)/2) instead of arccos
+    (whose derivative blows up at the identity), and every guarded division
+    uses the double-where pattern so the untaken branch stays finite under
+    autodiff.
     """
-    trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
-    cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_t)
-    # Generic branch: w = theta/(2 sin theta) * vee(R - R^T)
     vee = jnp.stack(
         [
             R[..., 2, 1] - R[..., 1, 2],
@@ -66,28 +67,27 @@ def log_so3(R: jax.Array) -> jax.Array:
         ],
         axis=-1,
     )
-    sin_t = jnp.sin(theta)
-    k_generic = theta / (2.0 * sin_t.clip(1e-12))
-    k_small = 0.5 + theta * theta / 12.0
-    generic_ok = sin_t > 1e-5
-    w_generic = jnp.where(generic_ok[..., None], k_generic[..., None], k_small[..., None]) * vee
-    # Near pi: at theta=pi, B = (R + I)/2 = a a^T. Take the column with the
-    # largest diagonal (pivot) and normalize — far more accurate in float32
-    # than sqrt(diag) with sign fixing, since off-diagonals carry full
-    # precision while sqrt(~0) amplifies rounding.
+    cos_t = jnp.clip((R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2] - 1.0) * 0.5, -1.0, 1.0)
+    sin_t = 0.5 * jnp.sqrt(jnp.sum(vee * vee, axis=-1) + _EPS * _EPS)
+    theta = jnp.arctan2(sin_t, cos_t)  # well-conditioned at 0 and pi
+    # Generic branch: w = theta/(2 sin theta) * vee, series near theta=0.
+    small = sin_t < 1e-5
+    sin_safe = jnp.where(small, 1.0, sin_t)
+    k = jnp.where(small, 0.5 + theta * theta / 12.0, theta / (2.0 * sin_safe))
+    w_generic = k[..., None] * vee
+    # Near pi: |vee| ~ 0 and the generic branch collapses. At theta=pi,
+    # B = (R + I)/2 = a a^T exactly; take the pivot column of B and normalize
+    # (full float32 precision, unlike sqrt(diag) sign-fixing), with the sign
+    # chosen to agree with vee (vee = 2 sin(theta) a, sin > 0 below pi).
     B = (R + jnp.eye(3, dtype=R.dtype)) * 0.5
     diag = jnp.stack([B[..., 0, 0], B[..., 1, 1], B[..., 2, 2]], axis=-1)
-    k = jnp.argmax(diag, axis=-1)
-    col = jnp.take_along_axis(B, k[..., None, None].repeat(3, -2), axis=-1)[..., 0]
-    axis = col / jnp.linalg.norm(col, axis=-1, keepdims=True).clip(1e-12)
-    # Near pi the trace loses precision (d theta/d trace blows up); recover
-    # theta from ||vee|| = 2 sin(theta) instead, and the sign of the axis from
-    # agreement with vee (vee ~ 2 sin(theta) * axis, sin > 0 below pi).
-    sin_from_vee = 0.5 * jnp.linalg.norm(vee, axis=-1)
-    theta_pi = jnp.pi - jnp.arcsin(jnp.clip(sin_from_vee, 0.0, 1.0))
+    kidx = jnp.argmax(diag, axis=-1)
+    col = jnp.take_along_axis(B, kidx[..., None, None].repeat(3, -2), axis=-1)[..., 0]
+    col_norm = jnp.sqrt(jnp.sum(col * col, axis=-1, keepdims=True) + _EPS * _EPS)
+    axis = col / col_norm
     axis_sign = jnp.where(jnp.sum(axis * vee, axis=-1) < 0, -1.0, 1.0)
-    w_pi = axis * (axis_sign * theta_pi)[..., None]
-    near_pi = theta > jnp.pi - 1e-3
+    w_pi = axis * (axis_sign * theta)[..., None]
+    near_pi = cos_t < -0.999999
     return jnp.where(near_pi[..., None], w_pi, w_generic)
 
 

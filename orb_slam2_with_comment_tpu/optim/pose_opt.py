@@ -1,0 +1,118 @@
+"""Pose-only optimization (motion-only bundle adjustment).
+
+TPU-native rebuild of the reference's ``Optimizer::PoseOptimization``
+(reference: Optimizer.cc:257-481): one SE3 pose, N unary reprojection edges
+against fixed landmarks, 4 rounds x 10 LM iterations, chi-squared
+inlier/outlier reclassification between rounds (outliers may return), Huber
+kernel active for the first two rounds only (reference drops it at round 3,
+Optimizer.cc:436-437).
+
+Everything is fixed-shape: observations carry a validity mask, outliers are
+expressed as a weight mask — no dynamic resizing, one compiled XLA program.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import se3
+from .residuals import (
+    CHI2_MONO,
+    CHI2_STEREO,
+    CamParams,
+    HUBER_MONO,
+    HUBER_STEREO,
+    huber_weight,
+    reproj_jacobians,
+    reproj_residual,
+)
+
+
+class PoseOptResult(NamedTuple):
+    R: jax.Array  # [3, 3] optimized world->camera rotation
+    t: jax.Array  # [3]
+    inliers: jax.Array  # [N] bool, post-optimization classification
+    n_inliers: jax.Array  # [] int32
+    chi2: jax.Array  # [] final total chi2 over inliers
+
+
+def _per_obs_chi2(cam, R, t, Xw, obs_uvr, inv_sigma2):
+    e, _, _ = reproj_residual(cam, R, t, Xw, obs_uvr)
+    return jnp.sum(e * e, axis=-1) * inv_sigma2
+
+
+def optimize_pose(
+    cam: CamParams,
+    R0: jax.Array,
+    t0: jax.Array,
+    Xw: jax.Array,
+    obs_uvr: jax.Array,
+    inv_sigma2: jax.Array,
+    valid: jax.Array,
+    rounds: int = 4,
+    iters_per_round: int = 10,
+) -> PoseOptResult:
+    """Optimize a single pose against fixed landmarks.
+
+    Args:
+      cam: intrinsics (+bf for stereo rows).
+      R0, t0: initial world->camera pose.
+      Xw: [N, 3] landmark positions (fixed).
+      obs_uvr: [N, 3] observations (u, v, u_r); u_r < 0 => mono.
+      inv_sigma2: [N] per-observation information scale (1/1.2^(2 level)).
+      valid: [N] bool mask of real observations.
+    """
+    is_stereo = obs_uvr[..., 2] >= 0
+    chi2_th = jnp.where(is_stereo, CHI2_STEREO, CHI2_MONO)
+    delta = jnp.where(is_stereo, HUBER_STEREO, HUBER_MONO)
+    valid = valid.astype(jnp.bool_)
+
+    def lm_iteration(state, robust):
+        R, t, lam, inlier = state
+        e, Jp, _ = reproj_jacobians(cam, R, t, Xw, obs_uvr)
+        chi2_i = jnp.sum(e * e, axis=-1) * inv_sigma2
+        w_rob = jnp.where(robust, huber_weight(chi2_i, delta), 1.0)
+        w = jnp.where(valid & inlier, inv_sigma2 * w_rob, 0.0)
+        H = jnp.einsum("nri,n,nrj->ij", Jp, w, Jp)
+        b = jnp.einsum("nri,n,nr->i", Jp, w, e)
+        D = jnp.diag(jnp.clip(jnp.diagonal(H), 1e-6, None))
+        delta_xi = -jnp.linalg.solve(H + lam * D, b)
+        R_new, t_new = se3.retract(R, t, delta_xi)
+        # Accept iff total (robust-weighted) chi2 decreases.
+        chi2_old = jnp.sum(jnp.where(valid & inlier, chi2_i * w_rob, 0.0))
+        chi2_new_i = _per_obs_chi2(cam, R_new, t_new, Xw, obs_uvr, inv_sigma2)
+        w_rob_new = jnp.where(robust, huber_weight(chi2_new_i, delta), 1.0)
+        chi2_new = jnp.sum(jnp.where(valid & inlier, chi2_new_i * w_rob_new, 0.0))
+        ok = (chi2_new < chi2_old) & jnp.all(jnp.isfinite(delta_xi))
+        R = jnp.where(ok, R_new, R)
+        t = jnp.where(ok, t_new, t)
+        lam = jnp.where(ok, lam * 0.5, lam * 4.0).clip(1e-9, 1e6)
+        return (R, t, lam, inlier), None
+
+    def round_body(state, robust):
+        R, t, lam, inlier = state
+
+        def body(carry, _):
+            return lm_iteration(carry, robust)
+
+        (R, t, lam, inlier), _ = jax.lax.scan(
+            body, (R, t, jnp.asarray(lam), inlier), None, length=iters_per_round
+        )
+        # Reclassify: chi2 against the threshold at the new pose; outliers can
+        # come back (reference: Optimizer.cc:400-471 moves edges between
+        # level 0/1 every round).
+        chi2_i = _per_obs_chi2(cam, R, t, Xw, obs_uvr, inv_sigma2)
+        inlier = chi2_i <= chi2_th
+        return (R, t, lam, inlier), None
+
+    # Huber on for the first two rounds, off afterwards.
+    robust_schedule = jnp.arange(rounds) < 2
+    init = (R0, t0, jnp.float32(1e-3), jnp.ones(Xw.shape[0], jnp.bool_))
+    (R, t, _, inlier), _ = jax.lax.scan(round_body, init, robust_schedule)
+
+    inlier = inlier & valid
+    chi2_i = _per_obs_chi2(cam, R, t, Xw, obs_uvr, inv_sigma2)
+    total = jnp.sum(jnp.where(inlier, chi2_i, 0.0))
+    return PoseOptResult(R, t, inlier, jnp.sum(inlier.astype(jnp.int32)), total)
