@@ -1,0 +1,119 @@
+"""ORB feature extraction pipeline: pyramid -> FAST -> orientation -> BRIEF.
+
+TPU-native rebuild of ORBextractor::operator() (reference:
+ORBextractor.cc:1043-1105): 8-level 1.2x pyramid, per-level FAST with the
+20->7 per-cell fallback, spatial balancing, IC-angle orientation, 7x7
+sigma=2 Gaussian blur, rotated-BRIEF descriptors, and coordinate rescaling
+to level-0 pixels. Everything is fixed-shape: each level contributes a
+static budget of keypoint slots (geometric series over levels, reference:
+ORBextractor.cc:437-446), invalid slots are masked.
+
+The heavy stages (score maps, moment convolutions, blur, descriptor
+gathers) are whole-image batched ops from ``..ops`` — no per-keypoint
+Python, single jitted program per image resolution.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import brief, fast, image, orientation
+
+
+class FrameFeatures(NamedTuple):
+    """SoA feature bundle for one image (all arrays fixed-size N slots)."""
+
+    xy: jax.Array  # [N, 2] float32, (x=col, y=row) in level-0 pixels (raw)
+    response: jax.Array  # [N] float32 FAST score
+    octave: jax.Array  # [N] int32 pyramid level
+    angle: jax.Array  # [N] float32 radians
+    desc: jax.Array  # [N, 8] uint32 packed 256-bit
+    valid: jax.Array  # [N] bool
+
+    @property
+    def n(self) -> int:
+        return self.xy.shape[0]
+
+
+def level_budgets(n_features: int, n_levels: int = image.N_LEVELS,
+                  scale_factor: float = image.SCALE_FACTOR) -> list[int]:
+    """Geometric per-level keypoint budgets summing to n_features
+    (reference: ORBextractor.cc:437-446)."""
+    factor = 1.0 / scale_factor
+    first = n_features * (1 - factor) / (1 - factor ** n_levels)
+    out = []
+    total = 0
+    for i in range(n_levels - 1):
+        k = int(round(first * factor ** i))
+        out.append(k)
+        total += k
+    out.append(max(n_features - total, 0))
+    return out
+
+
+class OrbExtractor:
+    """Configured extractor; __call__ is jit-compiled per image shape.
+
+    scale-sigma bookkeeping mirrors the reference's mvScaleFactor /
+    mvLevelSigma2 (sigma2 = 1.2^(2 level)).
+    """
+
+    def __init__(self, n_features: int = 1000, n_levels: int = image.N_LEVELS,
+                 scale_factor: float = image.SCALE_FACTOR,
+                 th_high: float = 20.0, th_low: float = 7.0,
+                 cell: int = 32, per_cell: int = 8, margin: int = 16):
+        self.n_features = n_features
+        self.n_levels = n_levels
+        self.scale_factor = scale_factor
+        self.th_high = th_high
+        self.th_low = th_low
+        self.cell = cell
+        self.per_cell = per_cell
+        self.margin = margin
+        self.budgets = level_budgets(n_features, n_levels, scale_factor)
+        self.scales = image.level_scales(n_levels, scale_factor)
+        self.sigma2 = [s * s for s in self.scales]
+        self.inv_sigma2 = [1.0 / s for s in self.sigma2]
+        self._jitted = jax.jit(self._extract)
+
+    def __call__(self, img: jax.Array) -> FrameFeatures:
+        return self._jitted(img)
+
+    def _extract(self, img: jax.Array) -> FrameFeatures:
+        img = img.astype(jnp.float32)
+        pyr = image.build_pyramid(img, self.n_levels, self.scale_factor)
+        parts = []
+        for lvl, (lvl_img, budget) in enumerate(zip(pyr, self.budgets)):
+            if budget <= 0:
+                continue
+            h, w = lvl_img.shape
+            score = fast.fast_score_map(lvl_img)
+            # Border mask: keypoints must keep the orientation/descriptor
+            # patch inside the image (reference EDGE_THRESHOLD=19, FAST
+            # domain starts at 16; ORBextractor.cc:72-74,769).
+            m = self.margin
+            yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+            xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+            inb = (yy >= m) & (yy < h - m) & (xx >= m) & (xx < w - m)
+            score = jnp.where(inb, score, 0.0)
+            yx, resp, valid = fast.select_keypoints(
+                score, budget, self.cell, self.per_cell, self.th_high, self.th_low)
+            ang = orientation.angles_at(lvl_img, yx)
+            blurred = image.gaussian_blur(lvl_img)
+            desc = brief.descriptors(blurred, yx, ang)
+            scale = self.scales[lvl]
+            xy0 = jnp.stack(
+                [yx[:, 1].astype(jnp.float32) * scale,
+                 yx[:, 0].astype(jnp.float32) * scale], axis=-1)
+            octv = jnp.full(budget, lvl, jnp.int32)
+            parts.append((xy0, resp, octv, ang, desc, valid))
+        xy = jnp.concatenate([p[0] for p in parts])
+        resp = jnp.concatenate([p[1] for p in parts])
+        octv = jnp.concatenate([p[2] for p in parts])
+        ang = jnp.concatenate([p[3] for p in parts])
+        desc = jnp.concatenate([p[4] for p in parts])
+        valid = jnp.concatenate([p[5] for p in parts])
+        return FrameFeatures(xy, resp, octv, ang, desc, valid)
