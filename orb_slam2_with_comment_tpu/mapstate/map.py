@@ -1,0 +1,161 @@
+"""Versioned SoA map state — the TPU-native Map/KeyFrame/MapPoint model.
+
+Replaces the reference's pointer-graph map (reference: src/Map.cc,
+src/KeyFrame.cc, src/MapPoint.cc) with fixed-capacity structure-of-arrays
+device state (SURVEY.md §7 design stance 1):
+
+  - keyframes: poses + full feature bundles, [K_max] slots with valid masks;
+  - landmarks: positions, representative descriptors, normals/scale bands,
+    found/visible statistics, [L_max] slots;
+  - observations: landmark-major [L_max, D_max] (keyframe idx, feature idx)
+    pairs — the same table drives Schur BA directly (optim.ba.BAProblem);
+  - keyframe->landmark back-references [K_max, N_feat] for matching;
+  - liveness is a mask update (replaces SetBadFlag pointer surgery),
+    covisibility is recomputed from the observation table on demand
+    (replaces KeyFrame::UpdateConnections cached adjacency).
+
+The whole map is a pytree: tracking reads a version, mapping emits the next
+one (SURVEY §2.5 P5 — no locks), and checkpointing is serialization of one
+pytree (the reference's missing SaveMap/LoadMap, System.h:115-117, for free).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class MapConfig(NamedTuple):
+    k_max: int = 64  # keyframe capacity
+    n_feat: int = 1000  # feature slots per keyframe
+    l_max: int = 20000  # landmark capacity
+    d_max: int = 12  # observation slots per landmark
+
+
+class MapState(NamedTuple):
+    # --- keyframes ---
+    kf_R: jax.Array  # [K, 3, 3] world->camera
+    kf_t: jax.Array  # [K, 3]
+    kf_valid: jax.Array  # [K] bool
+    kf_frame_id: jax.Array  # [K] int32 source frame id
+    # keyframe feature bundles (copied from the frame at insertion,
+    # reference: KeyFrame ctor KeyFrame.cc:31-57)
+    kf_xy: jax.Array  # [K, N, 2] undistorted
+    kf_ur: jax.Array  # [K, N] right-u or -1
+    kf_depth: jax.Array  # [K, N] depth or -1
+    kf_octave: jax.Array  # [K, N] int32
+    kf_angle: jax.Array  # [K, N]
+    kf_desc: jax.Array  # [K, N, 8] uint32
+    kf_feat_valid: jax.Array  # [K, N] bool
+    kf_lm: jax.Array  # [K, N] int32 landmark idx or -1
+    # --- landmarks ---
+    lm_pw: jax.Array  # [L, 3]
+    lm_valid: jax.Array  # [L] bool
+    lm_desc: jax.Array  # [L, 8] uint32 representative descriptor
+    lm_normal: jax.Array  # [L, 3] mean viewing direction (camera->point)
+    lm_dmin: jax.Array  # [L]
+    lm_dmax: jax.Array  # [L]
+    lm_visible: jax.Array  # [L] int32 (IncreaseVisible)
+    lm_found: jax.Array  # [L] int32 (IncreaseFound)
+    lm_first_kf: jax.Array  # [L] int32 creating keyframe
+    lm_ref_kf: jax.Array  # [L] int32 reference keyframe
+    # --- observations (landmark-major) ---
+    lm_obs_kf: jax.Array  # [L, D] int32, -1 = empty slot
+    lm_obs_feat: jax.Array  # [L, D] int32
+    # --- counters ---
+    n_kf: jax.Array  # [] int32 next free keyframe slot
+    n_lm: jax.Array  # [] int32 next free landmark slot
+
+    @property
+    def config(self) -> MapConfig:
+        return MapConfig(
+            self.kf_R.shape[0], self.kf_xy.shape[1],
+            self.lm_pw.shape[0], self.lm_obs_kf.shape[1],
+        )
+
+
+def empty_map(cfg: MapConfig) -> MapState:
+    K, N, L, D = cfg.k_max, cfg.n_feat, cfg.l_max, cfg.d_max
+    f32, i32 = jnp.float32, jnp.int32
+    return MapState(
+        kf_R=jnp.tile(jnp.eye(3, dtype=f32), (K, 1, 1)),
+        kf_t=jnp.zeros((K, 3), f32),
+        kf_valid=jnp.zeros(K, bool),
+        kf_frame_id=jnp.full(K, -1, i32),
+        kf_xy=jnp.zeros((K, N, 2), f32),
+        kf_ur=jnp.full((K, N), -1.0, f32),
+        kf_depth=jnp.full((K, N), -1.0, f32),
+        kf_octave=jnp.zeros((K, N), i32),
+        kf_angle=jnp.zeros((K, N), f32),
+        kf_desc=jnp.zeros((K, N, 8), jnp.uint32),
+        kf_feat_valid=jnp.zeros((K, N), bool),
+        kf_lm=jnp.full((K, N), -1, i32),
+        lm_pw=jnp.zeros((L, 3), f32),
+        lm_valid=jnp.zeros(L, bool),
+        lm_desc=jnp.zeros((L, 8), jnp.uint32),
+        lm_normal=jnp.zeros((L, 3), f32),
+        lm_dmin=jnp.full(L, 0.1, f32),
+        lm_dmax=jnp.full(L, 100.0, f32),
+        lm_visible=jnp.ones(L, i32),
+        lm_found=jnp.ones(L, i32),
+        lm_first_kf=jnp.full(L, -1, i32),
+        lm_ref_kf=jnp.zeros(L, i32),
+        lm_obs_kf=jnp.full((L, D), -1, i32),
+        lm_obs_feat=jnp.zeros((L, D), i32),
+        n_kf=jnp.int32(0),
+        n_lm=jnp.int32(0),
+    )
+
+
+def covisibility_weights(m: MapState, kf_idx) -> jax.Array:
+    """Covisibility row of one keyframe: for every other keyframe, the count
+    of shared landmarks (reference: KeyFrame::UpdateConnections,
+    KeyFrame.cc:295-393 — recomputed here from the observation table).
+
+    Returns [K] int32 weights (self entry zeroed).
+    """
+    K = m.kf_R.shape[0]
+    # landmarks observed by kf_idx: mask over [L]
+    observes = jnp.any(
+        (m.lm_obs_kf == kf_idx) & (m.lm_obs_kf >= 0), axis=1
+    ) & m.lm_valid  # [L]
+    # scatter-count their other observers
+    obs_kf = m.lm_obs_kf  # [L, D]
+    contrib = (observes[:, None] & (obs_kf >= 0)).astype(jnp.int32)
+    w = jax.ops.segment_sum(
+        contrib.reshape(-1),
+        jnp.clip(obs_kf, 0, K - 1).reshape(-1) + K * 0,
+        num_segments=K,
+    )
+    w = w.at[kf_idx].set(0)
+    return w * m.kf_valid.astype(jnp.int32)
+
+
+def landmark_obs_count(m: MapState) -> jax.Array:
+    """[L] number of observations per landmark."""
+    return jnp.sum((m.lm_obs_kf >= 0).astype(jnp.int32), axis=1)
+
+
+def add_observation(m: MapState, lm_idx, kf_idx, feat_idx, mask):
+    """Vectorized AddObservation (reference: MapPoint.cc:98-109): append
+    (kf, feat) to each landmark's first free slot; also sets the KF
+    back-reference. All args [B]; mask disables slots. Full slots drop.
+    """
+    D = m.lm_obs_kf.shape[1]
+    rows = m.lm_obs_kf[lm_idx]  # [B, D]
+    free = rows < 0
+    slot = jnp.argmax(free, axis=1)  # first free slot
+    has_free = jnp.any(free, axis=1)
+    ok = mask & has_free
+    safe_lm = jnp.where(ok, lm_idx, 0)
+    obs_kf = m.lm_obs_kf.at[safe_lm, slot].set(
+        jnp.where(ok, kf_idx, m.lm_obs_kf[safe_lm, slot]))
+    obs_feat = m.lm_obs_feat.at[safe_lm, slot].set(
+        jnp.where(ok, feat_idx, m.lm_obs_feat[safe_lm, slot]))
+    safe_kf = jnp.where(mask, kf_idx, 0)
+    safe_ft = jnp.where(mask, feat_idx, 0)
+    kf_lm = m.kf_lm.at[safe_kf, safe_ft].set(
+        jnp.where(mask, lm_idx, m.kf_lm[safe_kf, safe_ft]))
+    return m._replace(lm_obs_kf=obs_kf, lm_obs_feat=obs_feat, kf_lm=kf_lm)

@@ -119,10 +119,19 @@ def select_keypoints(
     flat_v = top_v.reshape(-1)
     flat_y = yy.reshape(-1)
     flat_x = xx.reshape(-1)
-    # Global budget: top n_max by response.
+    # Global budget with SPATIAL ROUND-ROBIN: every cell's best corner is
+    # taken before any cell's second-best (rank-major, response within
+    # rank) — the quadtree's spatial-uniformity semantics (reference:
+    # DistributeOctTree keeps the max-response point per spatial node,
+    # ORBextractor.cc:741-760). Pure response-order selection lets one
+    # high-contrast region crowd out the rest of the image, which
+    # collapses the depth diversity pose estimation depends on.
+    rank = jax.lax.broadcasted_iota(jnp.int32, top_i.shape, 2).reshape(-1)
+    sel_key = flat_v - rank.astype(flat_v.dtype) * 1e7
     n_cand = flat_v.shape[0]
     k = min(n_max, n_cand)
-    gv, gi = jax.lax.top_k(flat_v, k)
+    _, gi = jax.lax.top_k(sel_key, k)
+    gv = flat_v[gi]
     sel_y = flat_y[gi]
     sel_x = flat_x[gi]
     valid = gv > 0.0

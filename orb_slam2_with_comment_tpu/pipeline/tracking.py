@@ -1,0 +1,240 @@
+"""Host-side tracking state machine (the Tracking front end).
+
+TPU-native rebuild of the reference's Tracking thread (reference:
+src/Tracking.cc Track() state machine, :287-581): the decision logic
+(init / motion-model / reference-KF fallback / local-map / keyframe need /
+lost) runs in Python on a handful of scalar readbacks per frame, while all
+array work happens in the jitted steps of pipeline.steps. Local mapping
+(culling + local BA) runs synchronously after each keyframe insertion —
+bounded-iteration chunks replacing the mapping thread + mbAbortBA protocol
+(SURVEY.md §2.5 P1/P6).
+
+Thresholds follow SURVEY.md §2.6 "Tracking decisions".
+"""
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..frontend import OrbExtractor
+from ..geometry import se3
+from ..mapstate.map import MapConfig, MapState, empty_map
+from ..matching.search import FeatureSet
+from ..optim.residuals import CamParams
+from . import steps
+
+
+class TrackState(enum.Enum):
+    NOT_INITIALIZED = 0
+    OK = 1
+    LOST = 2
+
+
+@dataclass
+class TrackerConfig:
+    fx: float = 500.0
+    fy: float = 500.0
+    cx: float = 320.0
+    cy: float = 240.0
+    bf: float = 40.0
+    width: int = 640
+    height: int = 480
+    n_features: int = 1000
+    th_depth: float = 40.0  # in baseline units (yaml ThDepth); meters = th_depth * bf/fx
+    fps: float = 30.0
+    min_init_features: int = 500
+    map_cfg: MapConfig = field(default_factory=MapConfig)
+    # local BA every keyframe (bounded-iteration chunk)
+    local_ba_iters: int = 5
+
+    @property
+    def cam(self) -> CamParams:
+        return CamParams(*[jnp.float32(v) for v in
+                           (self.fx, self.fy, self.cx, self.cy, self.bf)])
+
+    @property
+    def depth_threshold(self) -> float:
+        """ThDepth * baseline in meters (reference: Tracking.cc:137)."""
+        return self.th_depth * self.bf / self.fx
+
+
+class Tracker:
+    """Monocular/stereo/RGB-D tracker over a versioned functional map."""
+
+    def __init__(self, cfg: TrackerConfig):
+        self.cfg = cfg
+        self.extractor = OrbExtractor(n_features=cfg.n_features)
+        self.map: MapState = empty_map(cfg.map_cfg)
+        self.state = TrackState.NOT_INITIALIZED
+        self.last_obs: steps.FrameObs | None = None
+        self.last_R = jnp.eye(3)
+        self.last_t = jnp.zeros(3)
+        self.velocity = None  # (R_rel, t_rel): T_cur<-last
+        self.ref_kf = 0
+        self.last_kf_frame = -1
+        self.frame_count = 0
+        self.trajectory: list[tuple[int, np.ndarray, np.ndarray]] = []
+        self.n_kf_host = 0
+        self._n_inliers = 0
+
+    # -- helpers ---------------------------------------------------------
+    def _frame_obs(self, img, depth_map):
+        feats = self.extractor(jnp.asarray(img))
+        xy = feats.xy
+        if depth_map is not None:
+            yi = jnp.clip(jnp.round(xy[:, 1]).astype(jnp.int32), 0, self.cfg.height - 1)
+            xi = jnp.clip(jnp.round(xy[:, 0]).astype(jnp.int32), 0, self.cfg.width - 1)
+            d = jnp.asarray(depth_map)[yi, xi]
+            d = jnp.where(d > 0, d, -1.0)
+        else:
+            d = jnp.full(xy.shape[0], -1.0)
+        ur = steps.make_feature_uvr(xy[:, 0], d, self.cfg.cam.bf)
+        fs = FeatureSet(xy, ur, feats.octave, feats.angle, feats.desc, feats.valid)
+        return steps.FrameObs(fs, d, jnp.full(xy.shape[0], -1, jnp.int32))
+
+    def _log_pose(self, frame_id, R, t):
+        self.trajectory.append((frame_id, np.asarray(R), np.asarray(t)))
+
+    # -- main entry ------------------------------------------------------
+    def process_rgbd(self, img, depth_map, frame_id=None):
+        """Track one RGB-D frame; returns (R, t) world->camera or None."""
+        if frame_id is None:
+            frame_id = self.frame_count
+        self.frame_count += 1
+        obs = self._frame_obs(img, depth_map)
+
+        if self.state == TrackState.NOT_INITIALIZED:
+            ok = self._initialize(obs, frame_id)
+            return (self.last_R, self.last_t) if ok else None
+
+        R, t, obs, ok = self._track(obs, frame_id)
+        if not ok:
+            self.state = TrackState.LOST
+            return None
+        self.velocity = se3.compose(*(R, t), *se3.inverse(self.last_R, self.last_t))
+        self.last_R, self.last_t = R, t
+        self.last_obs = obs
+        self._log_pose(frame_id, R, t)
+
+        if self._need_new_keyframe(obs):
+            self._create_keyframe(obs, R, t, frame_id)
+        return R, t
+
+    # -- phases ----------------------------------------------------------
+    def _initialize(self, obs: steps.FrameObs, frame_id) -> bool:
+        """StereoInitialization (reference: Tracking.cc:584-636): needs >500
+        features; all depth points become landmarks of keyframe 0."""
+        n_valid = int(jnp.sum(obs.feats.valid))
+        if n_valid <= self.cfg.min_init_features:
+            return False
+        R = jnp.eye(3)
+        t = jnp.zeros(3)
+        self.map, new_lm = steps.insert_keyframe(
+            self.map, self.cfg.cam, obs, R, t, jnp.int32(frame_id),
+            jnp.float32(1e9))  # init: all depth points (Tracking.cc:599-627)
+        self.n_kf_host += 1
+        self.last_R, self.last_t = R, t
+        self.last_obs = obs._replace(lm=new_lm)
+        self.ref_kf = 0
+        self.last_kf_frame = frame_id
+        self.state = TrackState.OK
+        self._log_pose(frame_id, R, t)
+        return True
+
+    def _track(self, obs: steps.FrameObs, frame_id):
+        cam = self.cfg.cam
+        cfg = self.cfg
+        res = None
+        if self.velocity is not None:
+            Rv, tv = self.velocity
+            R_pred, t_pred = se3.compose(Rv, tv, self.last_R, self.last_t)
+            res = steps.track_motion_model(
+                cam, self.map, self.last_obs, self.last_R, self.last_t,
+                obs.feats, R_pred, t_pred, jnp.float32(7.0),
+                jnp.float32(cfg.width), jnp.float32(cfg.height))
+            if int(res.n_inliers) < 10:
+                # widened window retry (reference: Tracking.cc:1011-1024 2x th)
+                res = steps.track_motion_model(
+                    cam, self.map, self.last_obs, self.last_R, self.last_t,
+                    obs.feats, R_pred, t_pred, jnp.float32(14.0),
+                    jnp.float32(cfg.width), jnp.float32(cfg.height))
+            if int(res.n_inliers) < 10:
+                res = None
+        if res is None:
+            res = steps.track_reference_keyframe(
+                cam, self.map, jnp.int32(self.ref_kf), obs.feats,
+                self.last_R, self.last_t)
+            if int(res.n_inliers) < 10:
+                return None, None, obs, False
+        # local map tracking (th=3 for RGB-D; reference Tracking.cc:1393-1399)
+        local_mask = steps.local_landmark_mask(self.map, jnp.int32(self.ref_kf))
+        res2, self.map = steps.track_local_map(
+            cam, self.map, obs.feats, res.lm, res.R, res.t,
+            local_mask, jnp.float32(3.0), cfg.width, cfg.height)
+        self._n_inliers = int(res2.n_inliers)
+        if self._n_inliers < 30:
+            return None, None, obs, False
+        obs = obs._replace(lm=res2.lm)
+        return res2.R, res2.t, obs, True
+
+    def _need_new_keyframe(self, obs) -> bool:
+        """NeedNewKeyFrame (reference: Tracking.cc:1140-1244), with the
+        mapping thread always idle (synchronous local mapping)."""
+        cfg = self.cfg
+        frames_since = self.frame_count - 1 - self.last_kf_frame
+        # ref-KF matched landmarks with >= minObs observations. The reference
+        # counts a stereo/RGB-D observation as nObs += 2 (MapPoint.cc:105-108)
+        # with thresholds 3 (map mature) / 2; our table counts keyframe SLOTS,
+        # so the equivalent slot thresholds are 2 / 1.
+        min_obs = 2 if self.n_kf_host > 2 else 1
+        m = self.map
+        ref_lm = m.kf_lm[self.ref_kf]
+        has = (ref_lm >= 0) & m.kf_feat_valid[self.ref_kf]
+        nobs = jnp.sum((m.lm_obs_kf[jnp.clip(ref_lm, 0)] >= 0), axis=1)
+        ref_matches = int(jnp.sum(has & (nobs >= min_obs)
+                                  & m.lm_valid[jnp.clip(ref_lm, 0)]))
+        # close-point accounting (reference: Tracking.cc:1170-1193)
+        depth_th = cfg.depth_threshold
+        d = np.asarray(obs.depth)
+        lm = np.asarray(obs.lm)
+        close = (d > 0) & (d < depth_th)
+        tracked_close = int(np.sum(close & (lm >= 0)))
+        non_tracked_close = int(np.sum(close & (lm < 0)))
+        need_close = tracked_close < 100 and non_tracked_close > 70
+        n_in = self._n_inliers
+        # reference: thRefRatio = 0.75, or 0.4 with a single keyframe
+        # (Tracking.cc:1205-1210)
+        th_ref = 0.4 if self.n_kf_host < 2 else 0.75
+        c1a = frames_since >= cfg.fps
+        c1b = frames_since >= 0  # mapping idle (synchronous)
+        c1c = n_in < ref_matches * 0.25 or need_close
+        c2 = (n_in < ref_matches * th_ref or need_close) and n_in > 15
+        if self.n_kf_host >= cfg.map_cfg.k_max:
+            return False
+        return (c1a or c1b or c1c) and c2
+
+    def _create_keyframe(self, obs, R, t, frame_id):
+        self.map, new_lm = steps.insert_keyframe(
+            self.map, self.cfg.cam, obs, R, t, jnp.int32(frame_id),
+            jnp.float32(self.cfg.depth_threshold))
+        kf = self.n_kf_host
+        self.n_kf_host += 1
+        self.ref_kf = kf
+        self.last_kf_frame = frame_id
+        self.last_obs = obs._replace(lm=new_lm)
+        # synchronous local mapping chunk: cull + local BA
+        self.map = steps.cull_landmarks(self.map, jnp.int32(kf))
+        if self.n_kf_host >= 2:
+            self.map = steps.local_bundle_adjustment(
+                self.map, self.cfg.cam, jnp.int32(kf))
+
+    # -- export ----------------------------------------------------------
+    def trajectory_arrays(self):
+        ids = np.array([f for f, _, _ in self.trajectory])
+        Rs = np.stack([R for _, R, _ in self.trajectory])
+        ts = np.stack([t for _, _, t in self.trajectory])
+        return ids, Rs, ts
