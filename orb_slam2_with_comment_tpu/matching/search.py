@@ -94,6 +94,7 @@ def frustum_check(cam, R, t, lm: LandmarkSet, width: int, height: int,
 def search_local_points(
     cam, R, t, lm: LandmarkSet, fr: Frustum, feats: FeatureSet,
     th: float = 1.0, ratio: float = 0.8, already_matched=None,
+    desc_th: int = core.TH_HIGH,
 ):
     """SearchByProjection vs the local map (reference: ORBmatcher.cc:59-155).
 
@@ -127,7 +128,7 @@ def search_local_points(
     neg, top2 = jax.lax.top_k(-d2, 2)
     lvl_b = feats.octave[top2[:, 0]]
     lvl_s = feats.octave[top2[:, 1]]
-    matched = best <= core.TH_HIGH
+    matched = best <= desc_th
     same_level = lvl_b == lvl_s
     matched &= jnp.where(same_level, core.ratio_ok(best, second, ratio), True)
     matched &= core.dedupe_matches(idx, best, matched, feats.desc.shape[0])
@@ -137,6 +138,7 @@ def search_local_points(
 def search_by_projection_frame(
     cam, R, t, prev_pw: jax.Array, prev_feats: FeatureSet, prev_has_point: jax.Array,
     feats: FeatureSet, th: float, width: int, height: int, forward: bool, backward: bool,
+    desc_th: int = core.TH_HIGH,
 ):
     """SearchByProjection vs the last frame, motion model (reference:
     ORBmatcher.cc:1540+): project last frame's landmarks, window radius
@@ -176,7 +178,7 @@ def search_by_projection_frame(
         & feats.valid[None, :]
     )
     idx, best, matched = core.windowed_match(
-        prev_feats.desc, feats.desc, mask, core.TH_HIGH,
+        prev_feats.desc, feats.desc, mask, desc_th,
         ratio=None, angle_q=prev_feats.angle, angle_t=feats.angle)
     return idx, best, matched
 

@@ -69,11 +69,18 @@ def optimize_pose(
     delta = jnp.where(is_stereo, HUBER_STEREO, HUBER_MONO)
     valid = valid.astype(jnp.bool_)
 
-    def lm_iteration(state, robust):
+    def lm_iteration(state, sched):
+        """sched = (robust_flag, kernel_scale). kernel_scale > 1 in early
+        rounds is graduated non-convexity: a wide Huber basin first, so a
+        motion-model prediction a few degrees off cannot trap the solve in
+        a robust-cost local minimum (tight kernels flatten exactly the
+        high-residual tail that discriminates the true pose), then the
+        reference's standard kernel for the final rounds."""
+        robust, kscale = sched
         R, t, lam, inlier = state
         e, Jp, _ = reproj_jacobians(cam, R, t, Xw, obs_uvr)
         chi2_i = jnp.sum(e * e, axis=-1) * inv_sigma2
-        w_rob = jnp.where(robust, huber_weight(chi2_i, delta), 1.0)
+        w_rob = jnp.where(robust, huber_weight(chi2_i, delta * kscale), 1.0)
         w = jnp.where(valid & inlier, inv_sigma2 * w_rob, 0.0)
         H = jnp.einsum("nri,n,nrj->ij", Jp, w, Jp)
         b = jnp.einsum("nri,n,nr->i", Jp, w, e)
@@ -83,7 +90,7 @@ def optimize_pose(
         # Accept iff total (robust-weighted) chi2 decreases.
         chi2_old = jnp.sum(jnp.where(valid & inlier, chi2_i * w_rob, 0.0))
         chi2_new_i = _per_obs_chi2(cam, R_new, t_new, Xw, obs_uvr, inv_sigma2)
-        w_rob_new = jnp.where(robust, huber_weight(chi2_new_i, delta), 1.0)
+        w_rob_new = jnp.where(robust, huber_weight(chi2_new_i, delta * kscale), 1.0)
         chi2_new = jnp.sum(jnp.where(valid & inlier, chi2_new_i * w_rob_new, 0.0))
         ok = (chi2_new < chi2_old) & jnp.all(jnp.isfinite(delta_xi))
         R = jnp.where(ok, R_new, R)
@@ -91,26 +98,32 @@ def optimize_pose(
         lam = jnp.where(ok, lam * 0.5, lam * 4.0).clip(1e-9, 1e6)
         return (R, t, lam, inlier), None
 
-    def round_body(state, robust):
+    def round_body(state, sched):
+        robust, kscale = sched
         R, t, lam, inlier = state
 
         def body(carry, _):
-            return lm_iteration(carry, robust)
+            return lm_iteration(carry, (robust, kscale))
 
         (R, t, lam, inlier), _ = jax.lax.scan(
             body, (R, t, jnp.asarray(lam), inlier), None, length=iters_per_round
         )
         # Reclassify: chi2 against the threshold at the new pose; outliers can
         # come back (reference: Optimizer.cc:400-471 moves edges between
-        # level 0/1 every round).
+        # level 0/1 every round). Early wide-kernel rounds get a matching
+        # widened gate so GNC progress is not trimmed away.
         chi2_i = _per_obs_chi2(cam, R, t, Xw, obs_uvr, inv_sigma2)
-        inlier = chi2_i <= chi2_th
+        inlier = chi2_i <= chi2_th * kscale * kscale
         return (R, t, lam, inlier), None
 
-    # Huber on for the first two rounds, off afterwards.
+    # Reference schedule: Huber for the first two rounds, kernel-free
+    # refinement afterwards (kscale plumbing kept for GNC experiments;
+    # widening admitted too many wrong associations in testing).
     robust_schedule = jnp.arange(rounds) < 2
+    kscale_schedule = jnp.ones(rounds, jnp.float32)
     init = (R0, t0, jnp.float32(1e-3), jnp.ones(Xw.shape[0], jnp.bool_))
-    (R, t, _, inlier), _ = jax.lax.scan(round_body, init, robust_schedule)
+    (R, t, _, inlier), _ = jax.lax.scan(
+        round_body, init, (robust_schedule, kscale_schedule))
 
     inlier = inlier & valid
     chi2_i = _per_obs_chi2(cam, R, t, Xw, obs_uvr, inv_sigma2)

@@ -51,23 +51,23 @@ def make_feature_uvr(u: jax.Array, depth: jax.Array, bf) -> jax.Array:
 # keyframe insertion
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("max_new",), donate_argnums=0)
+@partial(jax.jit, donate_argnums=0)
 def insert_keyframe(
     m: MapState,
     cam: CamParams,
     obs: FrameObs,
     R, t,
     frame_id,
-    th_depth: jax.Array,
-    max_new: int = 1000,
 ) -> MapState:
-    """Insert the current frame as a keyframe.
+    """Insert the current frame as a keyframe: copy the feature bundle and
+    turn existing frame<->landmark matches into observations (reference:
+    CreateNewKeyFrame Tracking.cc:1251-1264 + KeyFrame ctor).
 
-    Combines the reference's CreateNewKeyFrame (Tracking.cc:1251-1336:
-    existing matches become observations; close depth points become new
-    landmarks — all closer than ThDepth*b, else the 100 closest) with
-    KeyFrame construction. New-landmark scale bands follow
-    MapPoint::UpdateNormalAndDepth (MapPoint.cc:339-390).
+    New-landmark creation from depth is a SEPARATE step
+    (create_depth_landmarks) so the pipeline can first associate unmatched
+    features with existing landmarks via fusion — otherwise every keyframe
+    spawns hundreds of duplicates of already-mapped points whose fresher
+    descriptors out-compete the originals and detach tracking from the map.
     """
     k = m.n_kf
     f = obs.feats
@@ -87,55 +87,65 @@ def insert_keyframe(
         n_kf=m.n_kf + 1,
     )
     feat_ids = jnp.arange(N, dtype=jnp.int32)
-    # 1) existing landmark matches -> observations
     has_lm = (obs.lm >= 0) & f.valid
     m = add_observation(m, jnp.clip(obs.lm, 0), jnp.full(N, k, jnp.int32),
                         feat_ids, has_lm)
-    # 2) new landmarks from depth: close points, or the 100 closest
-    depth_ok = (obs.depth > 0) & f.valid & ~has_lm
-    is_close = depth_ok & (obs.depth < th_depth)
-    rank = jnp.argsort(jnp.argsort(jnp.where(depth_ok, obs.depth, 1e9)))
+    return m
+
+
+@partial(jax.jit, donate_argnums=0)
+def create_depth_landmarks(m: MapState, cam: CamParams, kf, th_depth) -> MapState:
+    """Create landmarks for keyframe ``kf`` features that still have no
+    landmark and carry valid depth: all closer than th_depth, else the 100
+    closest (reference: Tracking.cc:1271-1324 close-point rule; scale bands
+    per MapPoint::UpdateNormalAndDepth)."""
+    N = m.kf_xy.shape[1]
+    R = m.kf_R[kf]
+    t = m.kf_t[kf]
+    depth = m.kf_depth[kf]
+    octv = m.kf_octave[kf]
+    no_lm = m.kf_lm[kf] < 0
+    depth_ok = (depth > 0) & m.kf_feat_valid[kf] & no_lm
+    is_close = depth_ok & (depth < th_depth)
+    rank = jnp.argsort(jnp.argsort(jnp.where(depth_ok, depth, 1e9)))
     create = jnp.where(jnp.sum(is_close) >= 100, is_close, depth_ok & (rank < 100))
-    # cap at capacity
     slot_off = jnp.cumsum(create.astype(jnp.int32)) - 1
     L = m.lm_pw.shape[0]
     slots = m.n_lm + slot_off
     create &= slots < L
     safe_slots = jnp.where(create, slots, L - 1)
-    # unproject
-    z = obs.depth
-    x = (f.xy[:, 0] - cam.cx) / cam.fx * z
-    y = (f.xy[:, 1] - cam.cy) / cam.fy * z
+    xy = m.kf_xy[kf]
+    z = depth
+    x = (xy[:, 0] - cam.cx) / cam.fx * z
+    y = (xy[:, 1] - cam.cy) / cam.fy * z
     Xc = jnp.stack([x, y, z], axis=-1)
-    Rcw_T = R.T
-    Ow = -Rcw_T @ t
-    pw = Xc @ R + Ow  # (R^T Xc + Ow)
+    Ow = -R.T @ t
+    pw = Xc @ R + Ow
     dist = jnp.linalg.norm(pw - Ow, axis=-1)
     normal = (pw - Ow) / jnp.clip(dist, 1e-9, None)[:, None]
-    dmax = dist * SCALE_FACTORS[f.octave]
+    dmax = dist * SCALE_FACTORS[octv]
     dmin = dmax / SCALE_FACTORS[N_LEVELS - 1]
     sel = create
     m = m._replace(
         lm_pw=m.lm_pw.at[safe_slots].set(jnp.where(sel[:, None], pw, m.lm_pw[safe_slots])),
         lm_valid=m.lm_valid.at[safe_slots].set(jnp.where(sel, True, m.lm_valid[safe_slots])),
         lm_desc=m.lm_desc.at[safe_slots].set(
-            jnp.where(sel[:, None], f.desc, m.lm_desc[safe_slots])),
+            jnp.where(sel[:, None], m.kf_desc[kf], m.lm_desc[safe_slots])),
         lm_normal=m.lm_normal.at[safe_slots].set(
             jnp.where(sel[:, None], normal, m.lm_normal[safe_slots])),
         lm_dmin=m.lm_dmin.at[safe_slots].set(jnp.where(sel, dmin, m.lm_dmin[safe_slots])),
         lm_dmax=m.lm_dmax.at[safe_slots].set(jnp.where(sel, dmax, m.lm_dmax[safe_slots])),
         lm_first_kf=m.lm_first_kf.at[safe_slots].set(
-            jnp.where(sel, k, m.lm_first_kf[safe_slots])),
+            jnp.where(sel, kf, m.lm_first_kf[safe_slots])),
         lm_ref_kf=m.lm_ref_kf.at[safe_slots].set(
-            jnp.where(sel, k, m.lm_ref_kf[safe_slots])),
+            jnp.where(sel, kf, m.lm_ref_kf[safe_slots])),
         lm_visible=m.lm_visible.at[safe_slots].set(jnp.where(sel, 1, m.lm_visible[safe_slots])),
         lm_found=m.lm_found.at[safe_slots].set(jnp.where(sel, 1, m.lm_found[safe_slots])),
         n_lm=m.n_lm + jnp.sum(create.astype(jnp.int32)),
     )
-    m = add_observation(m, safe_slots, jnp.full(N, k, jnp.int32), feat_ids, sel)
-    # frame landmark assignment for the caller
-    new_lm = jnp.where(sel, safe_slots, obs.lm)
-    return m, new_lm
+    feat_ids = jnp.arange(N, dtype=jnp.int32)
+    m = add_observation(m, safe_slots, jnp.full(N, kf, jnp.int32), feat_ids, sel)
+    return m
 
 
 # ---------------------------------------------------------------------------
@@ -166,6 +176,7 @@ def _pose_optimize_from_matches(cam, m, feats, frame_lm, R0, t0):
 def track_motion_model(
     cam, m: MapState, prev: FrameObs, prev_R, prev_t,
     feats: FeatureSet, R_pred, t_pred, th, width, height,
+    desc_th=jnp.int32(100),
 ) -> TrackResult:
     """TrackWithMotionModel (reference: Tracking.cc:997-1063): project last
     frame's landmarks with the constant-velocity pose prediction, windowed
@@ -175,7 +186,7 @@ def track_motion_model(
     ok_lm = m.lm_valid[jnp.clip(prev.lm, 0)] & prev_has
     idx, dist, matched = msearch.search_by_projection_frame(
         cam, R_pred, t_pred, pw, prev.feats, ok_lm, feats,
-        th, width, height, forward=False, backward=False)
+        th, width, height, forward=False, backward=False, desc_th=desc_th)
     # frame_lm: scatter prev landmark ids onto matched current features
     N = feats.xy.shape[0]
     frame_lm = jnp.full(N, -1, jnp.int32)
@@ -211,6 +222,7 @@ def track_reference_keyframe(
 def track_local_map(
     cam, m: MapState, feats: FeatureSet, frame_lm, R, t,
     local_lm_mask, th, width: int, height: int,
+    desc_th=jnp.int32(100),
 ) -> tuple[TrackResult, MapState]:
     """TrackLocalMap (reference: Tracking.cc:1075-1127 + SearchLocalPoints
     1345-1403): project unmatched local landmarks, add matches, re-optimize,
@@ -223,7 +235,8 @@ def track_local_map(
     fr = fr._replace(visible=fr.visible & ~already_lm)
     feat_used = frame_lm >= 0
     idx, dist, matched = msearch.search_local_points(
-        cam, R, t, lmset, fr, feats, th=th, already_matched=feat_used)
+        cam, R, t, lmset, fr, feats, th=th, already_matched=feat_used,
+        desc_th=desc_th)
     safe_idx = jnp.where(matched, idx, 0)
     lm_ids = jnp.arange(L, dtype=jnp.int32)
     frame_lm = frame_lm.at[safe_idx].set(
@@ -320,3 +333,99 @@ def cull_landmarks(m: MapState, cur_kf) -> MapState:
     orphan = nobs == 0
     bad = m.lm_valid & ((age <= 3) & (ratio_bad | young_weak) | orphan)
     return m._replace(lm_valid=m.lm_valid & ~bad)
+
+
+# ---------------------------------------------------------------------------
+# observation fusion (map densification)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("width", "height"), donate_argnums=0)
+def fuse_pair(m: MapState, cam, src_kf, dst_kf, width: int, height: int) -> MapState:
+    """Project the landmarks of keyframe ``src_kf`` into keyframe ``dst_kf``
+    and add observations for unassociated matched features.
+
+    One direction of the reference's LocalMapping::SearchInNeighbors
+    (reference: LocalMapping.cc:589-674, ORBmatcher::Fuse 977+). Cross-KF
+    observations are what make local BA rigid: without them every landmark
+    is seen by ~1 keyframe and the map drifts with tracking bias.
+    (Landmark merging of duplicates is a separate step.)
+    """
+    lm_ids = m.kf_lm[src_kf]  # [N]
+    safe = jnp.clip(lm_ids, 0)
+    has = (lm_ids >= 0) & m.kf_feat_valid[src_kf] & m.lm_valid[safe]
+    from ..matching.search import LandmarkSet, fuse_candidates
+    lmset = LandmarkSet(
+        m.lm_pw[safe], m.lm_normal[safe], m.lm_dmin[safe], m.lm_dmax[safe],
+        m.lm_desc[safe], has)
+    feats_b = FeatureSet(
+        m.kf_xy[dst_kf], m.kf_ur[dst_kf], m.kf_octave[dst_kf],
+        m.kf_angle[dst_kf], m.kf_desc[dst_kf], m.kf_feat_valid[dst_kf])
+    idx, dist, matched = fuse_candidates(
+        cam, m.kf_R[dst_kf], m.kf_t[dst_kf], lmset, feats_b, width, height)
+    feat_free = m.kf_lm[dst_kf, idx] < 0
+    already = jnp.any(m.lm_obs_kf[safe] == dst_kf, axis=1)
+    ok = matched & feat_free & ~already & has
+    N = lm_ids.shape[0]
+    m = add_observation(m, safe, jnp.full(N, dst_kf, jnp.int32), idx, ok)
+    # Merge duplicates: the matched dst feature already belongs to ANOTHER
+    # landmark — the same physical point mapped twice. Keep the landmark
+    # with more observations (reference: ORBmatcher::Fuse 1111-1114,
+    # MapPoint::Replace). This is what re-anchors fresh keyframes' points
+    # to the old map instead of letting tracking follow recent duplicates.
+    from ..mapstate.map import landmark_obs_count, merge_landmarks
+    other = m.kf_lm[dst_kf, idx]
+    dup = matched & has & (other >= 0) & (other != lm_ids)
+    nobs = landmark_obs_count(m)
+    n_self = nobs[safe]
+    n_other = nobs[jnp.clip(other, 0)]
+    keep = jnp.where(n_self >= n_other, lm_ids, other)
+    kill = jnp.where(n_self >= n_other, other, lm_ids)
+    return merge_landmarks(m, jnp.clip(keep, 0), jnp.clip(kill, 0), dup)
+
+
+@partial(jax.jit, donate_argnums=0)
+def refresh_landmarks(m: MapState) -> MapState:
+    """Recompute representative descriptors and normals/scale bands from the
+    observation table (reference: MapPoint::ComputeDistinctiveDescriptors
+    MapPoint.cc:247-316 — min median Hamming — and UpdateNormalAndDepth
+    339-390)."""
+    from ..ops.hamming import hamming_pair
+    L, D = m.lm_obs_kf.shape
+    valid_obs = m.lm_obs_kf >= 0
+    kf_idx = jnp.clip(m.lm_obs_kf, 0)
+    descs = m.kf_desc[kf_idx, m.lm_obs_feat]  # [L, D, 8]
+    dmat = hamming_pair(descs[:, :, None, :], descs[:, None, :, :])  # [L, D, D]
+    big = 10_000
+    pair_ok = valid_obs[:, :, None] & valid_obs[:, None, :]
+    dmat = jnp.where(pair_ok, dmat, big)
+    # median distance of each candidate to the others: sort row, take the
+    # element at (count-1)//2 among valid entries (invalid sorted to the end)
+    srt = jnp.sort(dmat, axis=2)
+    cnt = jnp.sum(valid_obs, axis=1)  # [L]
+    mid = jnp.clip((cnt - 1) // 2, 0, D - 1)
+    med = jnp.take_along_axis(srt, mid[:, None, None].repeat(D, 1), axis=2)[..., 0]
+    med = jnp.where(valid_obs, med, big)
+    best = jnp.argmin(med, axis=1)  # [L]
+    new_desc = jnp.take_along_axis(descs, best[:, None, None].repeat(8, 2), axis=1)[:, 0]
+    has_obs = cnt > 0
+    lm_desc = jnp.where(has_obs[:, None], new_desc, m.lm_desc)
+    # normals: mean of unit directions camera-center -> point
+    Ow = -jnp.einsum("kij,ki->kj", m.kf_R, m.kf_t)  # [K, 3] centers
+    dirs = m.lm_pw[:, None, :] - Ow[kf_idx]  # [L, D, 3]
+    norms = jnp.linalg.norm(dirs, axis=-1).clip(1e-9)
+    dirs = dirs / norms[..., None]
+    dirs = jnp.where(valid_obs[..., None], dirs, 0.0)
+    nsum = jnp.sum(dirs, axis=1)
+    normal = nsum / jnp.linalg.norm(nsum, axis=-1, keepdims=True).clip(1e-9)
+    lm_normal = jnp.where(has_obs[:, None], normal, m.lm_normal)
+    # scale band from the reference observation (slot 0)
+    ref_kf = kf_idx[:, 0]
+    ref_feat = m.lm_obs_feat[:, 0]
+    dist_ref = jnp.linalg.norm(m.lm_pw - Ow[ref_kf], axis=-1)
+    octv = m.kf_octave[ref_kf, ref_feat]
+    dmax = dist_ref * SCALE_FACTORS[octv]
+    dmin = dmax / SCALE_FACTORS[N_LEVELS - 1]
+    lm_dmax = jnp.where(has_obs, dmax, m.lm_dmax)
+    lm_dmin = jnp.where(has_obs, dmin, m.lm_dmin)
+    return m._replace(lm_desc=lm_desc, lm_normal=lm_normal,
+                      lm_dmax=lm_dmax, lm_dmin=lm_dmin)

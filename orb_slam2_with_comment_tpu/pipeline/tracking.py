@@ -50,6 +50,14 @@ class TrackerConfig:
     map_cfg: MapConfig = field(default_factory=MapConfig)
     # local BA every keyframe (bounded-iteration chunk)
     local_ba_iters: int = 5
+    # Descriptor acceptance threshold for projection searches. The
+    # reference's TH_HIGH=100 is tuned for real ORB statistics (unrelated
+    # patches ~120-140 bits apart with ~0 mass below 100). Measure your
+    # image source: on low-entropy (e.g. synthetic) textures, unrelated
+    # descriptors can dip below 100 for >20% of pairs, and a permissive
+    # gate lets windowed searches fabricate confident wrong matches that
+    # anchor tracking to the motion-model prediction.
+    desc_th: int = 60
 
     @property
     def cam(self) -> CamParams:
@@ -86,10 +94,25 @@ class Tracker:
         feats = self.extractor(jnp.asarray(img))
         xy = feats.xy
         if depth_map is not None:
+            dm = jnp.asarray(depth_map)
             yi = jnp.clip(jnp.round(xy[:, 1]).astype(jnp.int32), 0, self.cfg.height - 1)
             xi = jnp.clip(jnp.round(xy[:, 0]).astype(jnp.int32), 0, self.cfg.width - 1)
-            d = jnp.asarray(depth_map)[yi, xi]
-            d = jnp.where(d > 0, d, -1.0)
+            d = dm[yi, xi]
+            # Depth-edge gate: corners on occlusion boundaries flip between
+            # foreground and background depth with sub-pixel motion, which
+            # poisons landmarks (classic RGB-D edge noise). Reject features
+            # whose 3x3 depth neighborhood is inconsistent (>4% spread or
+            # any invalid return).
+            H, W = self.cfg.height, self.cfg.width
+            dmin = d
+            dmax = d
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    dn = dm[jnp.clip(yi + dy, 0, H - 1), jnp.clip(xi + dx, 0, W - 1)]
+                    dmin = jnp.minimum(dmin, dn)
+                    dmax = jnp.maximum(dmax, dn)
+            edge = (dmin <= 0) | ((dmax - dmin) > 0.04 * jnp.clip(d, 1e-6, None))
+            d = jnp.where((d > 0) & ~edge, d, -1.0)
         else:
             d = jnp.full(xy.shape[0], -1.0)
         ur = steps.make_feature_uvr(xy[:, 0], d, self.cfg.cam.bf)
@@ -133,12 +156,14 @@ class Tracker:
             return False
         R = jnp.eye(3)
         t = jnp.zeros(3)
-        self.map, new_lm = steps.insert_keyframe(
-            self.map, self.cfg.cam, obs, R, t, jnp.int32(frame_id),
-            jnp.float32(1e9))  # init: all depth points (Tracking.cc:599-627)
+        self.map = steps.insert_keyframe(
+            self.map, self.cfg.cam, obs, R, t, jnp.int32(frame_id))
+        # init: ALL depth points become landmarks (Tracking.cc:599-627)
+        self.map = steps.create_depth_landmarks(
+            self.map, self.cfg.cam, jnp.int32(0), jnp.float32(1e9))
         self.n_kf_host += 1
         self.last_R, self.last_t = R, t
-        self.last_obs = obs._replace(lm=new_lm)
+        self.last_obs = obs._replace(lm=self.map.kf_lm[0])
         self.ref_kf = 0
         self.last_kf_frame = frame_id
         self.state = TrackState.OK
@@ -155,13 +180,15 @@ class Tracker:
             res = steps.track_motion_model(
                 cam, self.map, self.last_obs, self.last_R, self.last_t,
                 obs.feats, R_pred, t_pred, jnp.float32(7.0),
-                jnp.float32(cfg.width), jnp.float32(cfg.height))
+                jnp.float32(cfg.width), jnp.float32(cfg.height),
+                jnp.int32(cfg.desc_th))
             if int(res.n_inliers) < 10:
                 # widened window retry (reference: Tracking.cc:1011-1024 2x th)
                 res = steps.track_motion_model(
                     cam, self.map, self.last_obs, self.last_R, self.last_t,
                     obs.feats, R_pred, t_pred, jnp.float32(14.0),
-                    jnp.float32(cfg.width), jnp.float32(cfg.height))
+                    jnp.float32(cfg.width), jnp.float32(cfg.height),
+                    jnp.int32(cfg.desc_th))
             if int(res.n_inliers) < 10:
                 res = None
         if res is None:
@@ -174,7 +201,8 @@ class Tracker:
         local_mask = steps.local_landmark_mask(self.map, jnp.int32(self.ref_kf))
         res2, self.map = steps.track_local_map(
             cam, self.map, obs.feats, res.lm, res.R, res.t,
-            local_mask, jnp.float32(3.0), cfg.width, cfg.height)
+            local_mask, jnp.float32(3.0), cfg.width, cfg.height,
+            jnp.int32(cfg.desc_th))
         self._n_inliers = int(res2.n_inliers)
         if self._n_inliers < 30:
             return None, None, obs, False
@@ -210,7 +238,12 @@ class Tracker:
         # (Tracking.cc:1205-1210)
         th_ref = 0.4 if self.n_kf_host < 2 else 0.75
         c1a = frames_since >= cfg.fps
-        c1b = frames_since >= 0  # mapping idle (synchronous)
+        # c1b in the reference is "LocalMapping idle". With synchronous
+        # mapping it would be constantly true, which makes keyframe insertion
+        # fire on c2 alone, several times faster than the threaded reference
+        # (whose mapping thread is busy ~0.1-0.3 s per keyframe). Emulate the
+        # thread's duty cycle with a minimum spacing of 3 frames.
+        c1b = frames_since >= 3
         c1c = n_in < ref_matches * 0.25 or need_close
         c2 = (n_in < ref_matches * th_ref or need_close) and n_in > 15
         if self.n_kf_host >= cfg.map_cfg.k_max:
@@ -218,19 +251,41 @@ class Tracker:
         return (c1a or c1b or c1c) and c2
 
     def _create_keyframe(self, obs, R, t, frame_id):
-        self.map, new_lm = steps.insert_keyframe(
-            self.map, self.cfg.cam, obs, R, t, jnp.int32(frame_id),
-            jnp.float32(self.cfg.depth_threshold))
+        self.map = steps.insert_keyframe(
+            self.map, self.cfg.cam, obs, R, t, jnp.int32(frame_id))
         kf = self.n_kf_host
         self.n_kf_host += 1
         self.ref_kf = kf
         self.last_kf_frame = frame_id
-        self.last_obs = obs._replace(lm=new_lm)
-        # synchronous local mapping chunk: cull + local BA
+        # synchronous local mapping chunk (reference: LocalMapping::Run).
+        # Order matters: FIRST associate this keyframe's unmatched features
+        # with existing landmarks (fuse from covisible neighbors), THEN
+        # create depth landmarks only for what is still unmatched —
+        # otherwise every insertion spawns duplicates of mapped points.
+        cam = self.cfg.cam
+        neighbors = []
+        if self.n_kf_host >= 2:
+            from ..mapstate.map import covisibility_weights
+            w = np.asarray(covisibility_weights(self.map, jnp.int32(kf)))
+            order = np.argsort(-w)[:5]
+            neighbors = [int(j) for j in order if w[j] > 0]
+            for j in neighbors:
+                self.map = steps.fuse_pair(
+                    self.map, cam, jnp.int32(j), jnp.int32(kf),
+                    self.cfg.width, self.cfg.height)
+        self.map = steps.create_depth_landmarks(
+            self.map, cam, jnp.int32(kf), jnp.float32(self.cfg.depth_threshold))
+        if neighbors:
+            for j in neighbors:
+                self.map = steps.fuse_pair(
+                    self.map, cam, jnp.int32(kf), jnp.int32(j),
+                    self.cfg.width, self.cfg.height)
+            self.map = steps.refresh_landmarks(self.map)
         self.map = steps.cull_landmarks(self.map, jnp.int32(kf))
         if self.n_kf_host >= 2:
             self.map = steps.local_bundle_adjustment(
                 self.map, self.cfg.cam, jnp.int32(kf))
+        self.last_obs = obs._replace(lm=self.map.kf_lm[kf])
 
     # -- export ----------------------------------------------------------
     def trajectory_arrays(self):
