@@ -50,14 +50,14 @@ class TrackerConfig:
     map_cfg: MapConfig = field(default_factory=MapConfig)
     # local BA every keyframe (bounded-iteration chunk)
     local_ba_iters: int = 5
-    # Descriptor acceptance threshold for projection searches. The
-    # reference's TH_HIGH=100 is tuned for real ORB statistics (unrelated
-    # patches ~120-140 bits apart with ~0 mass below 100). Measure your
-    # image source: on low-entropy (e.g. synthetic) textures, unrelated
-    # descriptors can dip below 100 for >20% of pairs, and a permissive
-    # gate lets windowed searches fabricate confident wrong matches that
-    # anchor tracking to the motion-model prediction.
-    desc_th: int = 60
+    # Descriptor acceptance thresholds for projection searches (reference
+    # TH_HIGH=100). Knobs exist because the right value is a property of
+    # the image source's descriptor statistics: with duplicate-landmark
+    # merging in place the reference value measures best on the synthetic
+    # suite as well (tighter gates amputate legitimate long-baseline
+    # re-matches and destabilize tracking).
+    desc_th: int = 100
+    desc_th_local: int = 100
 
     @property
     def cam(self) -> CamParams:
@@ -202,7 +202,7 @@ class Tracker:
         res2, self.map = steps.track_local_map(
             cam, self.map, obs.feats, res.lm, res.R, res.t,
             local_mask, jnp.float32(3.0), cfg.width, cfg.height,
-            jnp.int32(cfg.desc_th))
+            jnp.int32(cfg.desc_th_local))
         self._n_inliers = int(res2.n_inliers)
         if self._n_inliers < 30:
             return None, None, obs, False
