@@ -102,7 +102,7 @@ class OrbExtractor:
             yx, resp, valid = fast.select_keypoints(
                 score, budget, self.cell, self.per_cell, self.th_high, self.th_low)
             sub = fast.subpixel_refine(score, yx)  # [n, 2] (dy, dx)
-            ang = orientation.angles_at(lvl_img, yx)
+            ang = orientation.angles_at_patches(lvl_img, yx)
             blurred = image.gaussian_blur(lvl_img)
             desc = brief.descriptors(blurred, yx, ang)
             scale = self.scales[lvl]

@@ -72,3 +72,28 @@ def angles_at(img: jax.Array, yx: jax.Array) -> jax.Array:
     g10 = m10[yx[:, 0], yx[:, 1]]
     g01 = m01[yx[:, 0], yx[:, 1]]
     return jnp.arctan2(g01, g10)
+
+
+@jax.jit
+def angles_at_patches(img: jax.Array, yx: jax.Array) -> jax.Array:
+    """Orientation angles via per-keypoint 31x31 patch gathers + one
+    [N, 961] x [961, 2] matmul (MXU path).
+
+    The whole-image moment maps (orientation_maps) are two 31x31
+    single-channel convolutions — with no channel dimension XLA lowers them
+    to ~1000 shifted multiply-adds on the VPU per level, which dominated
+    extractor time on TPU. Gathering only the N keypoint patches collapses
+    the work by ~300x and turns the reduction into a matrix multiply.
+    """
+    pad = jnp.pad(img, HALF_PATCH)
+
+    def patch(y, x):
+        return jax.lax.dynamic_slice(
+            pad, (y, x), (2 * HALF_PATCH + 1, 2 * HALF_PATCH + 1))
+
+    patches = jax.vmap(patch)(yx[:, 0], yx[:, 1])  # [N, 31, 31]
+    flat = patches.reshape(patches.shape[0], -1)
+    kmat = jnp.stack([jnp.asarray(_K10).reshape(-1),
+                      jnp.asarray(_K01).reshape(-1)], axis=1)  # [961, 2]
+    m = flat @ kmat
+    return jnp.arctan2(m[:, 1], m[:, 0])

@@ -429,3 +429,126 @@ def refresh_landmarks(m: MapState) -> MapState:
     lm_dmin = jnp.where(has_obs, dmin, m.lm_dmin)
     return m._replace(lm_desc=lm_desc, lm_normal=lm_normal,
                       lm_dmax=lm_dmax, lm_dmin=lm_dmin)
+
+
+# ---------------------------------------------------------------------------
+# fused per-frame tracking megastep (one device call per tracked frame)
+# ---------------------------------------------------------------------------
+
+class FrameStepResult(NamedTuple):
+    map: MapState
+    R: jax.Array
+    t: jax.Array
+    lm: jax.Array  # [N] per-feature landmark assignment after local-map opt
+    feats: FeatureSet
+    depth: jax.Array
+    stats: jax.Array  # int32 [6]: [mm_inliers, used_mm, track1_inliers,
+    #                               local_inliers, ref_matches,
+    #                               tracked_close*10000 + non_tracked_close]
+
+
+def build_track_frame_step(extractor, width: int, height: int):
+    """Build the fused per-frame step: extraction -> depth gating -> motion
+    model (with widened retry) -> reference-KF fallback -> local-map
+    tracking -> keyframe-decision statistics, as ONE jitted program.
+
+    The host state machine previously issued 5-8 device calls + several
+    scalar readbacks per frame; on a remote-attached TPU each call costs a
+    full round trip (~30 ms measured), so the per-frame pipeline is fused
+    into a single call returning one small stats vector (SURVEY.md §2.5 P1:
+    vectorized pipeline stages instead of threads).
+    Branches (motion-model vs reference-keyframe fallback) become computed-
+    both + select: on TPU the extra brute match costs microseconds and
+    avoids lax.cond around big closures.
+    """
+
+    @partial(jax.jit, donate_argnums=(1,),
+             static_argnames=("have_vel",))
+    def step(cam, m: MapState, prev: FrameObs, last_R, last_t,
+             vel_R, vel_t, have_vel: bool, ref_kf, img, depth_map,
+             th_depth, desc_th, desc_th_local, min_obs) -> FrameStepResult:
+        feats_raw = extractor._extract(img)
+        xy = feats_raw.xy
+        # depth sampling + occlusion-boundary gate (see Tracker._frame_obs)
+        yi = jnp.clip(jnp.round(xy[:, 1]).astype(jnp.int32), 0, height - 1)
+        xi = jnp.clip(jnp.round(xy[:, 0]).astype(jnp.int32), 0, width - 1)
+        d = depth_map[yi, xi]
+        dmin = d
+        dmax = d
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                dn = depth_map[jnp.clip(yi + dy, 0, height - 1),
+                               jnp.clip(xi + dx, 0, width - 1)]
+                dmin = jnp.minimum(dmin, dn)
+                dmax = jnp.maximum(dmax, dn)
+        edge = (dmin <= 0) | ((dmax - dmin) > 0.04 * jnp.clip(d, 1e-6, None))
+        d = jnp.where((d > 0) & ~edge, d, -1.0)
+        ur = jnp.where(d > 0, xy[:, 0] - cam.bf / jnp.clip(d, 1e-6, None), -1.0)
+        feats = FeatureSet(xy, ur, feats_raw.octave, feats_raw.angle,
+                           feats_raw.desc, feats_raw.valid)
+
+        if have_vel:
+            R_pred, t_pred = se3.compose(vel_R, vel_t, last_R, last_t)
+            mm1 = track_motion_model(cam, m, prev, last_R, last_t, feats,
+                                     R_pred, t_pred, jnp.float32(7.0),
+                                     jnp.float32(width), jnp.float32(height),
+                                     desc_th)
+            mm2 = track_motion_model(cam, m, prev, last_R, last_t, feats,
+                                     R_pred, t_pred, jnp.float32(14.0),
+                                     jnp.float32(width), jnp.float32(height),
+                                     desc_th)
+            mm_ok1 = mm1.n_inliers >= 10
+            mm = jax.tree.map(
+                lambda a, b: jnp.where(mm_ok1, a, b), mm1, mm2)
+            mm_ok = mm.n_inliers >= 10
+        else:
+            mm = None
+        ref = track_reference_keyframe(cam, m, ref_kf, feats, last_R, last_t)
+        if have_vel:
+            res = jax.tree.map(lambda a, b: jnp.where(mm_ok, a, b), mm, ref)
+            used_mm = mm_ok.astype(jnp.int32)
+        else:
+            res = ref
+            used_mm = jnp.int32(0)
+        local_mask = local_landmark_mask(m, ref_kf)
+        res2, m = track_local_map(cam, m, feats, res.lm, res.R, res.t,
+                                  local_mask, jnp.float32(3.0), width, height,
+                                  desc_th_local)
+        # keyframe-decision statistics (reference: Tracking.cc:1140-1244)
+        ref_lm = m.kf_lm[ref_kf]
+        has_ref = (ref_lm >= 0) & m.kf_feat_valid[ref_kf]
+        nobs = jnp.sum((m.lm_obs_kf[jnp.clip(ref_lm, 0)] >= 0), axis=1)
+        ref_matches = jnp.sum(
+            (has_ref & (nobs >= min_obs)
+             & m.lm_valid[jnp.clip(ref_lm, 0)]).astype(jnp.int32))
+        close = (d > 0) & (d < th_depth)
+        tracked_close = jnp.sum((close & (res2.lm >= 0)).astype(jnp.int32))
+        non_tracked_close = jnp.sum((close & (res2.lm < 0)).astype(jnp.int32))
+        stats = jnp.stack([
+            (mm.n_inliers if have_vel else jnp.int32(0)), used_mm,
+            res.n_inliers, res2.n_inliers, ref_matches,
+            tracked_close * 10000 + non_tracked_close,
+        ]).astype(jnp.int32)
+        return FrameStepResult(m, res2.R, res2.t, res2.lm, feats, d, stats)
+
+    return step
+
+
+@partial(jax.jit, static_argnames=("width", "height", "into"), donate_argnums=0)
+def fuse_neighbors(m: MapState, cam, kf, neighbors, width: int, height: int,
+                   into: bool) -> MapState:
+    """Batched SearchInNeighbors direction pass over up to len(neighbors)
+    covisible keyframes in ONE device call (neighbors padded with -1).
+    into=True: project each neighbor's landmarks into ``kf``;
+    into=False: project ``kf``'s landmarks into each neighbor."""
+    def body(i, mm):
+        j = neighbors[i]
+
+        def do(mm):
+            if into:
+                return fuse_pair(mm, cam, j, kf, width, height)
+            return fuse_pair(mm, cam, kf, j, width, height)
+
+        return jax.lax.cond(j >= 0, do, lambda x: x, mm)
+
+    return jax.lax.fori_loop(0, neighbors.shape[0], body, m)

@@ -88,6 +88,8 @@ class Tracker:
         self.trajectory: list[tuple[int, np.ndarray, np.ndarray]] = []
         self.n_kf_host = 0
         self._n_inliers = 0
+        self._step = steps.build_track_frame_step(
+            self.extractor, cfg.width, cfg.height)
 
     # -- helpers ---------------------------------------------------------
     def _frame_obs(self, img, depth_map):
@@ -124,28 +126,69 @@ class Tracker:
 
     # -- main entry ------------------------------------------------------
     def process_rgbd(self, img, depth_map, frame_id=None):
-        """Track one RGB-D frame; returns (R, t) world->camera or None."""
+        """Track one RGB-D frame; returns (R, t) world->camera or None.
+
+        Steady-state tracking is ONE fused device call + one small stats
+        readback (see steps.build_track_frame_step); keyframe frames add
+        the insertion/local-mapping calls.
+        """
         if frame_id is None:
             frame_id = self.frame_count
         self.frame_count += 1
-        obs = self._frame_obs(img, depth_map)
 
         if self.state == TrackState.NOT_INITIALIZED:
+            obs = self._frame_obs(img, depth_map)
             ok = self._initialize(obs, frame_id)
             return (self.last_R, self.last_t) if ok else None
 
-        R, t, obs, ok = self._track(obs, frame_id)
-        if not ok:
+        cfg = self.cfg
+        have_vel = self.velocity is not None
+        vel_R, vel_t = self.velocity if have_vel else (jnp.eye(3), jnp.zeros(3))
+        min_obs = 2 if self.n_kf_host > 2 else 1
+        res = self._step(
+            cfg.cam, self.map, self.last_obs, self.last_R, self.last_t,
+            vel_R, vel_t, have_vel, jnp.int32(self.ref_kf),
+            jnp.asarray(img, jnp.float32), jnp.asarray(depth_map, jnp.float32),
+            jnp.float32(cfg.depth_threshold), jnp.int32(cfg.desc_th),
+            jnp.int32(cfg.desc_th_local), jnp.int32(min_obs))
+        self.map = res.map
+        stats = np.asarray(res.stats)
+        mm_in, used_mm, track1_in, local_in, ref_matches, close_pack = (
+            int(x) for x in stats)
+        if track1_in < 10 or local_in < 30:
             self.state = TrackState.LOST
+            self.velocity = None
             return None
-        self.velocity = se3.compose(*(R, t), *se3.inverse(self.last_R, self.last_t))
+        self.state = TrackState.OK
+        R, t = res.R, res.t
+        self._n_inliers = local_in
+        obs = steps.FrameObs(res.feats, res.depth, res.lm)
+        self.velocity = se3.compose(R, t, *se3.inverse(self.last_R, self.last_t))
         self.last_R, self.last_t = R, t
         self.last_obs = obs
         self._log_pose(frame_id, R, t)
 
-        if self._need_new_keyframe(obs):
+        tracked_close, non_tracked_close = close_pack // 10000, close_pack % 10000
+        if self._need_new_keyframe_stats(local_in, ref_matches,
+                                         tracked_close, non_tracked_close):
             self._create_keyframe(obs, R, t, frame_id)
         return R, t
+
+    def _need_new_keyframe_stats(self, n_in, ref_matches,
+                                 tracked_close, non_tracked_close) -> bool:
+        """NeedNewKeyFrame (reference: Tracking.cc:1140-1244) from the fused
+        step's statistics vector — no extra device readbacks."""
+        cfg = self.cfg
+        frames_since = self.frame_count - 1 - self.last_kf_frame
+        need_close = tracked_close < 100 and non_tracked_close > 70
+        th_ref = 0.4 if self.n_kf_host < 2 else 0.75
+        c1a = frames_since >= cfg.fps
+        c1b = frames_since >= 3  # emulated mapping-thread duty cycle
+        c1c = n_in < ref_matches * 0.25 or need_close
+        c2 = (n_in < ref_matches * th_ref or need_close) and n_in > 15
+        if self.n_kf_host >= cfg.map_cfg.k_max:
+            return False
+        return (c1a or c1b or c1c) and c2
 
     # -- phases ----------------------------------------------------------
     def _initialize(self, obs: steps.FrameObs, frame_id) -> bool:
@@ -269,17 +312,19 @@ class Tracker:
             w = np.asarray(covisibility_weights(self.map, jnp.int32(kf)))
             order = np.argsort(-w)[:5]
             neighbors = [int(j) for j in order if w[j] > 0]
-            for j in neighbors:
-                self.map = steps.fuse_pair(
-                    self.map, cam, jnp.int32(j), jnp.int32(kf),
-                    self.cfg.width, self.cfg.height)
+            nb = np.full(5, -1, np.int32)
+            nb[:len(neighbors)] = neighbors
+            self.map = steps.fuse_neighbors(
+                self.map, cam, jnp.int32(kf), jnp.asarray(nb),
+                self.cfg.width, self.cfg.height, into=True)
         self.map = steps.create_depth_landmarks(
             self.map, cam, jnp.int32(kf), jnp.float32(self.cfg.depth_threshold))
         if neighbors:
-            for j in neighbors:
-                self.map = steps.fuse_pair(
-                    self.map, cam, jnp.int32(kf), jnp.int32(j),
-                    self.cfg.width, self.cfg.height)
+            nb = np.full(5, -1, np.int32)
+            nb[:len(neighbors)] = neighbors
+            self.map = steps.fuse_neighbors(
+                self.map, cam, jnp.int32(kf), jnp.asarray(nb),
+                self.cfg.width, self.cfg.height, into=False)
             self.map = steps.refresh_landmarks(self.map)
         self.map = steps.cull_landmarks(self.map, jnp.int32(kf))
         if self.n_kf_host >= 2:
