@@ -552,3 +552,32 @@ def fuse_neighbors(m: MapState, cam, kf, neighbors, width: int, height: int,
         return jax.lax.cond(j >= 0, do, lambda x: x, mm)
 
     return jax.lax.fori_loop(0, neighbors.shape[0], body, m)
+
+
+@partial(jax.jit, static_argnames=("width", "height"), donate_argnums=0)
+def keyframe_step(m: MapState, cam, obs: FrameObs, R, t, frame_id,
+                  th_depth, width: int, height: int) -> MapState:
+    """The ENTIRE keyframe maintenance chunk as one device call:
+    insertion -> neighbor selection (top-5 covisible, on device) ->
+    fuse neighbors into the new KF -> create depth landmarks for still-
+    unmatched features -> fuse outward -> refresh landmark descriptors/
+    normals -> cull recent landmarks -> local bundle adjustment.
+    Replaces ~8 host-dispatched calls (each a full tunnel round trip)."""
+    from ..mapstate.map import covisibility_weights
+    k = m.n_kf
+    m = insert_keyframe(m, cam, obs, R, t, frame_id)
+    w = covisibility_weights(m, k)
+    top_w, top_i = jax.lax.top_k(w, 5)
+    neighbors = jnp.where(top_w > 0, top_i.astype(jnp.int32), -1)
+    m = fuse_neighbors(m, cam, k, neighbors, width, height, into=True)
+    m = create_depth_landmarks(m, cam, k, th_depth)
+    m = fuse_neighbors(m, cam, k, neighbors, width, height, into=False)
+    m = refresh_landmarks(m)
+    m = cull_landmarks(m, k)
+    has_neighbors = jnp.any(neighbors >= 0)
+
+    def run_ba(mm):
+        return local_bundle_adjustment(mm, cam, k)
+
+    m = jax.lax.cond(has_neighbors, run_ba, lambda mm: mm, m)
+    return m

@@ -122,7 +122,9 @@ class Tracker:
         return steps.FrameObs(fs, d, jnp.full(xy.shape[0], -1, jnp.int32))
 
     def _log_pose(self, frame_id, R, t):
-        self.trajectory.append((frame_id, np.asarray(R), np.asarray(t)))
+        # keep device arrays: forcing them to numpy here costs two tunnel
+        # round trips per frame; conversion happens in trajectory_arrays()
+        self.trajectory.append((frame_id, R, t))
 
     # -- main entry ------------------------------------------------------
     def process_rgbd(self, img, depth_map, frame_id=None):
@@ -294,47 +296,19 @@ class Tracker:
         return (c1a or c1b or c1c) and c2
 
     def _create_keyframe(self, obs, R, t, frame_id):
-        self.map = steps.insert_keyframe(
-            self.map, self.cfg.cam, obs, R, t, jnp.int32(frame_id))
         kf = self.n_kf_host
+        self.map = steps.keyframe_step(
+            self.map, self.cfg.cam, obs, R, t, jnp.int32(frame_id),
+            jnp.float32(self.cfg.depth_threshold),
+            self.cfg.width, self.cfg.height)
         self.n_kf_host += 1
         self.ref_kf = kf
         self.last_kf_frame = frame_id
-        # synchronous local mapping chunk (reference: LocalMapping::Run).
-        # Order matters: FIRST associate this keyframe's unmatched features
-        # with existing landmarks (fuse from covisible neighbors), THEN
-        # create depth landmarks only for what is still unmatched —
-        # otherwise every insertion spawns duplicates of mapped points.
-        cam = self.cfg.cam
-        neighbors = []
-        if self.n_kf_host >= 2:
-            from ..mapstate.map import covisibility_weights
-            w = np.asarray(covisibility_weights(self.map, jnp.int32(kf)))
-            order = np.argsort(-w)[:5]
-            neighbors = [int(j) for j in order if w[j] > 0]
-            nb = np.full(5, -1, np.int32)
-            nb[:len(neighbors)] = neighbors
-            self.map = steps.fuse_neighbors(
-                self.map, cam, jnp.int32(kf), jnp.asarray(nb),
-                self.cfg.width, self.cfg.height, into=True)
-        self.map = steps.create_depth_landmarks(
-            self.map, cam, jnp.int32(kf), jnp.float32(self.cfg.depth_threshold))
-        if neighbors:
-            nb = np.full(5, -1, np.int32)
-            nb[:len(neighbors)] = neighbors
-            self.map = steps.fuse_neighbors(
-                self.map, cam, jnp.int32(kf), jnp.asarray(nb),
-                self.cfg.width, self.cfg.height, into=False)
-            self.map = steps.refresh_landmarks(self.map)
-        self.map = steps.cull_landmarks(self.map, jnp.int32(kf))
-        if self.n_kf_host >= 2:
-            self.map = steps.local_bundle_adjustment(
-                self.map, self.cfg.cam, jnp.int32(kf))
         self.last_obs = obs._replace(lm=self.map.kf_lm[kf])
 
     # -- export ----------------------------------------------------------
     def trajectory_arrays(self):
         ids = np.array([f for f, _, _ in self.trajectory])
-        Rs = np.stack([R for _, R, _ in self.trajectory])
-        ts = np.stack([t for _, _, t in self.trajectory])
+        Rs = np.stack([np.asarray(R) for _, R, _ in self.trajectory])
+        ts = np.stack([np.asarray(t) for _, _, t in self.trajectory])
         return ids, Rs, ts
