@@ -90,6 +90,11 @@ class Tracker:
         self._n_inliers = 0
         self._step = steps.build_track_frame_step(
             self.extractor, cfg.width, cfg.height)
+        # place recognition: vocabulary is trained from the first keyframe's
+        # descriptors (domain-matched; the reference ships a pre-trained
+        # ORBvoc.txt absent from this environment — SURVEY §7.7)
+        self.db = None
+        self.loop_closer = None
 
     # -- helpers ---------------------------------------------------------
     def _frame_obs(self, img, depth_map):
@@ -160,6 +165,10 @@ class Tracker:
         if track1_in < 10 or local_in < 30:
             self.state = TrackState.LOST
             self.velocity = None
+            if self.db is not None:
+                obs = steps.FrameObs(res.feats, res.depth, res.lm)
+                if self._relocalize(obs, frame_id):
+                    return self.last_R, self.last_t
             return None
         self.state = TrackState.OK
         R, t = res.R, res.t
@@ -213,6 +222,15 @@ class Tracker:
         self.last_kf_frame = frame_id
         self.state = TrackState.OK
         self._log_pose(frame_id, R, t)
+        # bootstrap place recognition
+        from ..place import train_vocabulary
+        from ..place.database import KeyFrameDatabase
+        from .loop_closing import LoopCloser
+        descs = np.asarray(obs.feats.desc)[np.asarray(obs.feats.valid)]
+        voc = train_vocabulary(descs, k=8, levels=3, seed=0)
+        self.db = KeyFrameDatabase(voc, self.cfg.map_cfg.k_max)
+        self.db.add(0, obs.feats.desc, obs.feats.valid)
+        self.loop_closer = LoopCloser(self.cfg.cam, self.db, fix_scale=True)
         return True
 
     def _track(self, obs: steps.FrameObs, frame_id):
@@ -305,6 +323,57 @@ class Tracker:
         self.ref_kf = kf
         self.last_kf_frame = frame_id
         self.last_obs = obs._replace(lm=self.map.kf_lm[kf])
+        if self.db is not None:
+            self.db.add(kf, obs.feats.desc, obs.feats.valid)
+            self.map = self.loop_closer.process(self.map, kf)
+
+    def _relocalize(self, obs: steps.FrameObs, frame_id) -> bool:
+        """Relocalization (reference: Tracking.cc:1582-1778): BoW candidate
+        keyframes -> descriptor matching -> EPnP RANSAC -> pose-only
+        optimization; accept on enough inliers."""
+        from ..matching import search as ms
+        from ..matching.search import INV_SIGMA2, SIGMA2
+        from ..solvers import pnp
+        cands = self.db.detect_reloc_candidates(
+            self.map, obs.feats.desc, obs.feats.valid, max_candidates=3)
+        m = self.map
+        cam = self.cfg.cam
+        K = (self.cfg.fx, self.cfg.fy, self.cfg.cx, self.cfg.cy)
+        for c in cands:
+            kf_lm = m.kf_lm[c]
+            kf_has = ((kf_lm >= 0) & m.kf_feat_valid[c]
+                      & m.lm_valid[jnp.clip(kf_lm, 0)])
+            idx, dist, matched = ms.search_brute(
+                m.kf_desc[c], obs.feats.desc, kf_has, obs.feats.valid,
+                ratio=0.75, angle_q=m.kf_angle[c], angle_t=obs.feats.angle)
+            if int(jnp.sum(matched)) < 15:  # reference :1625
+                continue
+            N = obs.feats.xy.shape[0]
+            frame_lm = jnp.full(N, -1, jnp.int32)
+            safe = jnp.where(matched, idx, 0)
+            frame_lm = frame_lm.at[safe].set(jnp.where(matched, kf_lm, -1))
+            has = (frame_lm >= 0) & obs.feats.valid
+            Xw = m.lm_pw[jnp.clip(frame_lm, 0)]
+            import jax as _jax
+            key = _jax.random.PRNGKey(self.frame_count)
+            res = pnp.solve_ransac(
+                key, K, Xw, obs.feats.xy, SIGMA2[obs.feats.octave], has,
+                max_iters=300)
+            if int(res.n_inliers) < 10:
+                continue
+            tr = steps._pose_optimize_from_matches(
+                cam, m, obs.feats, frame_lm, res.R, res.t)
+            if int(tr.n_inliers) < 50:  # reference accepts at >=50 (:1752)
+                continue
+            self.last_R, self.last_t = tr.R, tr.t
+            self.last_obs = obs._replace(lm=tr.lm)
+            self.ref_kf = c
+            self.velocity = None
+            self.state = TrackState.OK
+            self._n_inliers = int(tr.n_inliers)
+            self._log_pose(frame_id, tr.R, tr.t)
+            return True
+        return False
 
     # -- export ----------------------------------------------------------
     def trajectory_arrays(self):

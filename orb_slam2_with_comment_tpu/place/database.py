@@ -1,0 +1,78 @@
+"""Keyframe database: dense BoW rows + batched candidate retrieval.
+
+TPU-native rebuild of the reference's KeyFrameDatabase (reference:
+src/KeyFrameDatabase.cc): the word->keyframe inverted file becomes a dense
+[K_max, n_words] tf-idf matrix; loop/relocalization candidate retrieval is
+one batched L1 score against every keyframe at once, followed by the
+reference's gating: exclude covisible keyframes, require score >= minScore,
+accumulate scores over each candidate's top-10 covisibility group and keep
+those above 0.75 x best accumulated score
+(reference: DetectLoopCandidates :76-197, DetectRelocalizationCandidates
+:199-309 — word-sharing prefilters were inverted-file bookkeeping; dense
+scoring subsumes them).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..mapstate.map import MapState, covisibility_weights
+from . import vocabulary as V
+
+
+class KeyFrameDatabase:
+    """Host-managed dense BoW database aligned with MapState keyframe slots."""
+
+    def __init__(self, voc: V.Vocabulary, k_max: int):
+        self.voc = voc
+        self.bow = jnp.zeros((k_max, voc.n_words), jnp.float32)
+
+    def add(self, kf: int, desc: jax.Array, valid: jax.Array):
+        words = V.transform(self.voc, desc, valid)
+        vec = V.bow_vectors(self.voc, words, valid)
+        self.bow = self.bow.at[kf].set(vec)
+
+    def frame_vector(self, desc: jax.Array, valid: jax.Array) -> jax.Array:
+        words = V.transform(self.voc, desc, valid)
+        return V.bow_vectors(self.voc, words, valid)
+
+    def scores(self, vec: jax.Array, kf_valid: jax.Array) -> jax.Array:
+        s = V.score_l1(vec, self.bow)
+        return jnp.where(kf_valid, s, -1.0)
+
+    def detect_loop_candidates(self, m: MapState, kf: int, min_score: float,
+                               max_candidates: int = 5) -> list[int]:
+        """Reference gating (KeyFrameDatabase.cc:76-197) over dense scores."""
+        vec = self.bow[kf]
+        w = covisibility_weights(m, jnp.int32(kf))
+        connected = np.asarray(w) > 0
+        s = np.array(self.scores(vec, m.kf_valid))  # writable copy
+        s[kf] = -1
+        s[connected] = -1
+        s[~np.asarray(m.kf_valid)] = -1
+        cand = np.where(s >= min_score)[0]
+        if len(cand) == 0:
+            return []
+        # accumulate over each candidate's top-10 covisibility group
+        acc = {}
+        for c in cand:
+            wc = np.asarray(covisibility_weights(m, jnp.int32(int(c))))
+            group = np.argsort(-wc)[:10]
+            group = [int(g) for g in group if wc[g] > 0] + [int(c)]
+            group_scores = [s[g] for g in group if s[g] > 0]
+            acc[int(c)] = float(sum(group_scores)) if group_scores else float(s[c])
+        best_acc = max(acc.values())
+        keep = [c for c, a in acc.items() if a > 0.75 * best_acc]
+        keep.sort(key=lambda c: -s[c])
+        return keep[:max_candidates]
+
+    def detect_reloc_candidates(self, m: MapState, desc: jax.Array,
+                                valid: jax.Array,
+                                max_candidates: int = 5) -> list[int]:
+        """Relocalization candidates for a frame (reference :199-309)."""
+        vec = self.frame_vector(desc, valid)
+        s = np.asarray(self.scores(vec, m.kf_valid))
+        order = np.argsort(-s)
+        out = [int(i) for i in order[:max_candidates] if s[i] > 0]
+        return out

@@ -1,0 +1,142 @@
+"""Binary BoW vocabulary: hierarchical k-majority tree as flat arrays.
+
+TPU-native rebuild of DBoW2's TemplatedVocabulary (reference:
+Thirdparty/DBoW2/DBoW2/TemplatedVocabulary.h:1218-1259 transform,
+:1127-1194 tf-idf weighting and L1 scoring via ScoringObject): the k^L
+tree becomes three arrays (node descriptors, children index table, leaf
+word ids); `transform` descends all N descriptors through all L levels in
+one vectorized arg-min-Hamming sweep, and keyframe BoW vectors are DENSE
+[n_words] tf-idf rows so database scoring against every keyframe at once
+is a single batched abs-diff reduction ("batched bitcount scoring",
+BASELINE.json north star — replaces the inverted file).
+
+The reference ships a 1M-word vocabulary trained on Flickr1M
+(ORBvoc.txt, absent from this mount — SURVEY §7.7); `train_vocabulary`
+builds one by hierarchical binary k-means (bitwise-majority means) over
+descriptors harvested from the target image domain.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.hamming import hamming_pair
+
+
+class Vocabulary(NamedTuple):
+    node_desc: jax.Array  # [n_nodes, 8] uint32
+    children: jax.Array  # [n_nodes, k] int32, -1 = none (root = node 0)
+    leaf_word: jax.Array  # [n_nodes] int32 word id or -1
+    word_weight: jax.Array  # [n_words] f32 idf weight
+    k: int
+    levels: int
+    n_words: int
+
+
+def _popcount_np(x: np.ndarray) -> np.ndarray:
+    return np.unpackbits(x.view(np.uint8), axis=-1).sum(-1)
+
+
+def _kmajority(descs: np.ndarray, k: int, rng, iters: int = 8):
+    """Binary k-means with bitwise-majority means (FORB::meanValue
+    semantics, reference: FORB.cpp:107-143). descs [M, 8] uint32."""
+    M = len(descs)
+    k = min(k, M)
+    centers = descs[rng.choice(M, k, replace=False)]
+    bits = np.unpackbits(descs.view(np.uint8), axis=-1)  # [M, 256]
+    for _ in range(iters):
+        cbits = np.unpackbits(centers.view(np.uint8), axis=-1)
+        d = (bits[:, None, :] != cbits[None, :, :]).sum(-1)  # [M, k]
+        assign = d.argmin(1)
+        new = []
+        for j in range(k):
+            sel = bits[assign == j]
+            if len(sel) == 0:
+                new.append(np.unpackbits(
+                    descs[rng.randint(M)].view(np.uint8)))
+                continue
+            new.append((sel.mean(0) >= 0.5).astype(np.uint8))
+        nb = np.stack(new)
+        centers = np.packbits(nb, axis=-1).view(np.uint32).reshape(k, 8)
+    return centers, assign
+
+
+def train_vocabulary(descs: np.ndarray, k: int = 10, levels: int = 3,
+                     seed: int = 0) -> Vocabulary:
+    """Hierarchical k-majority training (reference DBoW2 create())."""
+    rng = np.random.RandomState(seed)
+    descs = np.asarray(descs, np.uint32).reshape(-1, 8)
+    node_desc = [np.zeros(8, np.uint32)]  # root placeholder
+    children: list[list[int]] = [[]]
+    leaf_word = [-1]
+    leaf_counts: list[int] = []
+
+    def split(node_id, subset, depth):
+        if depth == levels or len(subset) <= k:
+            # make current node's children the leaves directly from subset
+            leaf_id = len(leaf_counts)
+            leaf_word[node_id] = leaf_id
+            leaf_counts.append(max(len(subset), 1))
+            return
+        centers, assign = _kmajority(subset, k, rng)
+        for j in range(len(centers)):
+            child_id = len(node_desc)
+            node_desc.append(centers[j])
+            children.append([])
+            leaf_word.append(-1)
+            children[node_id].append(child_id)
+            split(child_id, subset[assign == j], depth + 1)
+
+    split(0, descs, 0)
+    n_nodes = len(node_desc)
+    n_words = len(leaf_counts)
+    ch = np.full((n_nodes, k), -1, np.int32)
+    for i, c in enumerate(children):
+        ch[i, :len(c)] = c
+    # idf weights (reference: TemplatedVocabulary TF_IDF weighting)
+    counts = np.asarray(leaf_counts, np.float64)
+    idf = np.log(len(descs) / np.clip(counts, 1, None)).astype(np.float32)
+    return Vocabulary(
+        jnp.asarray(np.stack(node_desc)), jnp.asarray(ch),
+        jnp.asarray(np.asarray(leaf_word, np.int32)),
+        jnp.asarray(idf), k, levels, n_words,
+    )
+
+
+def transform(voc: Vocabulary, desc: jax.Array, valid: jax.Array) -> jax.Array:
+    """Descend the tree: [N, 8] descriptors -> [N] word ids (-1 invalid)."""
+    N = desc.shape[0]
+    node = jnp.zeros(N, jnp.int32)
+
+    def body(_, node):
+        ch = voc.children[node]  # [N, k]
+        ch_desc = voc.node_desc[jnp.clip(ch, 0)]  # [N, k, 8]
+        d = hamming_pair(desc[:, None, :], ch_desc)  # [N, k]
+        d = jnp.where(ch >= 0, d, 10_000)
+        best = jnp.argmin(d, axis=1)
+        nxt = jnp.take_along_axis(ch, best[:, None], axis=1)[:, 0]
+        # stay put at leaves (no children)
+        return jnp.where(nxt >= 0, nxt, node)
+
+    node = jax.lax.fori_loop(0, voc.levels, body, node)
+    word = voc.leaf_word[node]
+    return jnp.where(valid, word, -1)
+
+
+def bow_vectors(voc: Vocabulary, words: jax.Array, valid: jax.Array) -> jax.Array:
+    """[..., N] word ids -> dense L1-normalized tf-idf vectors [..., W]."""
+    W = voc.n_words
+    ok = valid & (words >= 0)
+    onehot = jax.nn.one_hot(jnp.where(ok, words, W), W + 1, dtype=jnp.float32)
+    tf = jnp.sum(onehot, axis=-2)[..., :W]
+    v = tf * voc.word_weight
+    return v / jnp.clip(jnp.sum(jnp.abs(v), axis=-1, keepdims=True), 1e-9, None)
+
+
+def score_l1(v: jax.Array, db: jax.Array) -> jax.Array:
+    """DBoW2 L1 score (reference: ScoringObject L1Scoring): both inputs
+    L1-normalized; s = 1 - 0.5 * |v - w|_1, batched over db rows [K, W]."""
+    return 1.0 - 0.5 * jnp.sum(jnp.abs(v[None, :] - db), axis=-1)

@@ -1,0 +1,53 @@
+import numpy as np
+import jax.numpy as jnp
+
+from orb_slam2_with_comment_tpu.place import (
+    train_vocabulary, transform, bow_vectors, score_l1)
+
+rng = np.random.RandomState(9)
+
+
+def random_descs(n):
+    return rng.randint(0, 2**32, (n, 8), dtype=np.uint32)
+
+
+class TestVocabulary:
+    def test_train_and_transform(self):
+        descs = random_descs(2000)
+        voc = train_vocabulary(descs, k=8, levels=2, seed=0)
+        assert voc.n_words > 8
+        words = transform(voc, jnp.asarray(descs[:100]), jnp.ones(100, bool))
+        w = np.asarray(words)
+        assert (w >= 0).all() and (w < voc.n_words).all()
+        # deterministic
+        words2 = transform(voc, jnp.asarray(descs[:100]), jnp.ones(100, bool))
+        np.testing.assert_array_equal(w, np.asarray(words2))
+
+    def test_similar_sets_score_high(self):
+        descs = random_descs(3000)
+        voc = train_vocabulary(descs, k=8, levels=2, seed=1)
+        # two "images": same descriptors vs disjoint ones
+        a = descs[:300]
+        a_noisy = a.copy()
+        flip = rng.randint(0, 2**8, a.shape).astype(np.uint32)  # flip few bits
+        a_noisy ^= (np.uint32(1) << (flip % 32)).astype(np.uint32)
+        b = descs[1500:1800]
+        va = bow_vectors(voc, transform(voc, jnp.asarray(a), jnp.ones(300, bool)),
+                         jnp.ones(300, bool))
+        van = bow_vectors(voc, transform(voc, jnp.asarray(a_noisy), jnp.ones(300, bool)),
+                          jnp.ones(300, bool))
+        vb = bow_vectors(voc, transform(voc, jnp.asarray(b), jnp.ones(300, bool)),
+                         jnp.ones(300, bool))
+        db = jnp.stack([van, vb])
+        s = np.asarray(score_l1(va, db))
+        assert s[0] > s[1] + 0.1, s  # same place scores clearly higher
+
+    def test_masked_features_ignored(self):
+        descs = random_descs(1000)
+        voc = train_vocabulary(descs, k=8, levels=2, seed=2)
+        d = jnp.asarray(descs[:50])
+        valid_half = jnp.arange(50) < 25
+        v1 = bow_vectors(voc, transform(voc, d, valid_half), valid_half)
+        v2 = bow_vectors(voc, transform(voc, d[:25], jnp.ones(25, bool)),
+                         jnp.ones(25, bool))
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-6)
