@@ -78,9 +78,33 @@ class OrbExtractor:
         self.sigma2 = [s * s for s in self.scales]
         self.inv_sigma2 = [1.0 / s for s in self.sigma2]
         self._jitted = jax.jit(self._extract)
+        self._jitted_stereo = jax.jit(self._extract_stereo)
 
     def __call__(self, img: jax.Array) -> FrameFeatures:
         return self._jitted(img)
+
+    def stereo(self, img_l: jax.Array, img_r: jax.Array, bf, fx):
+        """Extract left+right features and associate along rectified rows.
+
+        One jitted program for the whole stereo front end (the reference
+        runs L/R extraction on two threads, Frame.cc:78-81; here both
+        extractions live in one XLA program and the row-band association
+        is a masked dense Hamming matrix, frontend/stereo.py).
+        Returns (left FrameFeatures, StereoDepth).
+        """
+        return self._jitted_stereo(img_l, img_r, jnp.float32(bf), jnp.float32(fx))
+
+    def _extract_stereo(self, img_l, img_r, bf, fx):
+        from . import stereo as _stereo
+        feats_l = self._extract(img_l)
+        feats_r = self._extract(img_r)
+        pyr_l = image.build_pyramid(
+            img_l.astype(jnp.float32), self.n_levels, self.scale_factor)
+        pyr_r = image.build_pyramid(
+            img_r.astype(jnp.float32), self.n_levels, self.scale_factor)
+        sd = _stereo.match_stereo(
+            feats_l, feats_r, pyr_l, pyr_r, self.budgets, bf, fx)
+        return feats_l, sd
 
     def _extract(self, img: jax.Array) -> FrameFeatures:
         img = img.astype(jnp.float32)

@@ -126,6 +126,18 @@ class Tracker:
         fs = FeatureSet(xy, ur, feats.octave, feats.angle, feats.desc, feats.valid)
         return steps.FrameObs(fs, d, jnp.full(xy.shape[0], -1, jnp.int32))
 
+    def _frame_obs_stereo(self, img_left, img_right):
+        """Stereo frame: joint L/R extraction + row-band depth association
+        (reference: Frame stereo ctor Frame.cc:61-117 + ComputeStereoMatches
+        Frame.cc:501-675)."""
+        feats, sd = self.extractor.stereo(
+            jnp.asarray(img_left), jnp.asarray(img_right),
+            self.cfg.bf, self.cfg.fx)
+        fs = FeatureSet(feats.xy, sd.u_right, feats.octave, feats.angle,
+                        feats.desc, feats.valid)
+        return steps.FrameObs(fs, sd.depth,
+                              jnp.full(feats.xy.shape[0], -1, jnp.int32))
+
     def _log_pose(self, frame_id, R, t):
         # keep device arrays: forcing them to numpy here costs two tunnel
         # round trips per frame; conversion happens in trajectory_arrays()
@@ -182,6 +194,43 @@ class Tracker:
         tracked_close, non_tracked_close = close_pack // 10000, close_pack % 10000
         if self._need_new_keyframe_stats(local_in, ref_matches,
                                          tracked_close, non_tracked_close):
+            self._create_keyframe(obs, R, t, frame_id)
+        return R, t
+
+    def process_stereo(self, img_left, img_right, frame_id=None):
+        """Track one rectified stereo frame; returns (R, t) or None
+        (reference: System::TrackStereo System.cc:169 ->
+        Tracking::GrabImageStereo Tracking.cc:168)."""
+        if frame_id is None:
+            frame_id = self.frame_count
+        self.frame_count += 1
+        obs = self._frame_obs_stereo(img_left, img_right)
+        return self._process_obs(obs, frame_id)
+
+    def _process_obs(self, obs: steps.FrameObs, frame_id):
+        """Generic (non-fused) per-frame flow shared by the stereo path:
+        init -> motion-model/ref-KF track -> local map -> keyframe decision.
+        """
+        if self.state == TrackState.NOT_INITIALIZED:
+            ok = self._initialize(obs, frame_id)
+            return (self.last_R, self.last_t) if ok else None
+        if self.state == TrackState.LOST:
+            if self.db is not None and self._relocalize(obs, frame_id):
+                return self.last_R, self.last_t
+            return None
+        R, t, obs, ok = self._track(obs, frame_id)
+        if not ok:
+            self.state = TrackState.LOST
+            self.velocity = None
+            if self.db is not None and self._relocalize(obs, frame_id):
+                return self.last_R, self.last_t
+            return None
+        self.state = TrackState.OK
+        self.velocity = se3.compose(R, t, *se3.inverse(self.last_R, self.last_t))
+        self.last_R, self.last_t = R, t
+        self.last_obs = obs
+        self._log_pose(frame_id, R, t)
+        if self._need_new_keyframe(obs):
             self._create_keyframe(obs, R, t, frame_id)
         return R, t
 
