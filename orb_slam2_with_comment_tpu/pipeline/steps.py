@@ -148,6 +148,228 @@ def create_depth_landmarks(m: MapState, cam: CamParams, kf, th_depth) -> MapStat
     return m
 
 
+def _insert_landmark_rows(m: MapState, pw, desc, normal, dmin, dmax,
+                          ref_kf, create):
+    """Append landmark rows (masked) into the first free slots; returns
+    (map, slots, still_ok) where slots[i] is the slot for row i."""
+    L = m.lm_pw.shape[0]
+    slot_off = jnp.cumsum(create.astype(jnp.int32)) - 1
+    slots = m.n_lm + slot_off
+    create &= slots < L
+    safe = jnp.where(create, slots, L - 1)
+    sel = create
+    m = m._replace(
+        lm_pw=m.lm_pw.at[safe].set(jnp.where(sel[:, None], pw, m.lm_pw[safe])),
+        lm_valid=m.lm_valid.at[safe].set(jnp.where(sel, True, m.lm_valid[safe])),
+        lm_desc=m.lm_desc.at[safe].set(jnp.where(sel[:, None], desc, m.lm_desc[safe])),
+        lm_normal=m.lm_normal.at[safe].set(
+            jnp.where(sel[:, None], normal, m.lm_normal[safe])),
+        lm_dmin=m.lm_dmin.at[safe].set(jnp.where(sel, dmin, m.lm_dmin[safe])),
+        lm_dmax=m.lm_dmax.at[safe].set(jnp.where(sel, dmax, m.lm_dmax[safe])),
+        lm_first_kf=m.lm_first_kf.at[safe].set(
+            jnp.where(sel, ref_kf, m.lm_first_kf[safe])),
+        lm_ref_kf=m.lm_ref_kf.at[safe].set(
+            jnp.where(sel, ref_kf, m.lm_ref_kf[safe])),
+        lm_visible=m.lm_visible.at[safe].set(jnp.where(sel, 1, m.lm_visible[safe])),
+        lm_found=m.lm_found.at[safe].set(jnp.where(sel, 1, m.lm_found[safe])),
+        n_lm=m.n_lm + jnp.sum(create.astype(jnp.int32)),
+    )
+    return m, safe, create
+
+
+@partial(jax.jit, donate_argnums=0)
+def insert_landmarks_two_view(m: MapState, cam: CamParams, kf1, kf2,
+                              idx2, pw, mask) -> MapState:
+    """Insert triangulated landmarks anchored at kf1 features: row i is
+    feature i of kf1 matched to feature idx2[i] of kf2 with world point
+    pw[i] (reference: CreateInitialMapMonocular Tracking.cc:752-782 and
+    the MapPoint creation tail of LocalMapping::CreateNewMapPoints)."""
+    N = idx2.shape[0]
+    mask = mask & (m.kf_lm[kf1] < 0)
+    mask &= m.kf_lm[kf2, jnp.clip(idx2, 0)] < 0
+    R2, t2 = m.kf_R[kf2], m.kf_t[kf2]
+    Ow2 = -R2.T @ t2
+    dist = jnp.linalg.norm(pw - Ow2, axis=-1)
+    octv2 = m.kf_octave[kf2, jnp.clip(idx2, 0)]
+    dmax = dist * SCALE_FACTORS[octv2]
+    dmin = dmax / SCALE_FACTORS[N_LEVELS - 1]
+    normal = (pw - Ow2) / jnp.clip(dist, 1e-9, None)[:, None]
+    m, slots, ok = _insert_landmark_rows(
+        m, pw, m.kf_desc[kf1], normal, dmin, dmax, kf2, mask)
+    feat1 = jnp.arange(N, dtype=jnp.int32)
+    m = add_observation(m, slots, jnp.full(N, kf1, jnp.int32), feat1, ok)
+    m = add_observation(m, slots, jnp.full(N, kf2, jnp.int32),
+                        jnp.clip(idx2, 0), ok)
+    return m
+
+
+def _kf_featureset(m: MapState, kf) -> FeatureSet:
+    return FeatureSet(m.kf_xy[kf], m.kf_ur[kf], m.kf_octave[kf],
+                      m.kf_angle[kf], m.kf_desc[kf], m.kf_feat_valid[kf])
+
+
+@partial(jax.jit, donate_argnums=0)
+def triangulate_landmarks(m: MapState, cam: CamParams, kf1, kf2) -> MapState:
+    """CreateNewMapPoints for one keyframe pair (reference:
+    LocalMapping.cc:290-577): epipolar-gated matching of landmark-free
+    features, batched DLT triangulation, parallax / cheirality /
+    reprojection-chi2 / scale-consistency gates, insertion with
+    observations in both keyframes.
+
+    The reference's scale-consistency guard lost its ``continue`` in this
+    fork (SURVEY.md §0.1.3); upstream semantics (reject the match) are
+    restored here.
+    """
+    from ..geometry import triangulate as tri
+    from ..matching import search as ms
+    R1, t1 = m.kf_R[kf1], m.kf_t[kf1]
+    R2, t2 = m.kf_R[kf2], m.kf_t[kf2]
+    # F12 (reference: LocalMapping::ComputeF12, :676-714)
+    R12 = R1 @ R2.T
+    t12 = -R12 @ t2 + t1
+    tx = jnp.asarray([[0.0, -t12[2], t12[1]],
+                      [t12[2], 0.0, -t12[0]],
+                      [-t12[1], t12[0], 0.0]])
+    Km = jnp.asarray([[cam.fx, 0, cam.cx], [0, cam.fy, cam.cy], [0, 0, 1.0]])
+    Ki = jnp.linalg.inv(Km)
+    F12 = Ki.T @ tx @ R12 @ Ki
+    # epipole of camera 1 in image 2
+    Ow1 = -R1.T @ t1
+    c2 = R2 @ Ow1 + t2
+    e2 = jnp.asarray([cam.fx * c2[0] / jnp.where(c2[2] == 0, 1e-9, c2[2]) + cam.cx,
+                      cam.fy * c2[1] / jnp.where(c2[2] == 0, 1e-9, c2[2]) + cam.cy])
+    f1 = _kf_featureset(m, kf1)
+    f2 = _kf_featureset(m, kf2)
+    free1 = m.kf_lm[kf1] < 0
+    free2 = m.kf_lm[kf2] < 0
+    idx2, dist, matched = ms.search_for_triangulation(
+        cam, f1, f2, free1, free2, F12, e2)
+    safe2 = jnp.clip(idx2, 0)
+    p1 = f1.xy
+    p2 = f2.xy[safe2]
+    P1 = Km @ jnp.concatenate([R1, t1[:, None]], 1)
+    P2 = Km @ jnp.concatenate([R2, t2[:, None]], 1)
+    N = p1.shape[0]
+    X = tri.triangulate_dlt(jnp.broadcast_to(P1, (N, 3, 4)),
+                            jnp.broadcast_to(P2, (N, 3, 4)), p1, p2)
+    Ow2 = -R2.T @ t2
+    cos_par = tri.rays_parallax_cos(Ow1[None], Ow2[None], X)
+    finite = jnp.all(jnp.isfinite(X), axis=-1)
+    # parallax gate (reference :429-440: mono path requires ray parallax)
+    par_ok = (cos_par > 0) & (cos_par < 0.9998)
+    Xc1 = X @ R1.T + t1
+    Xc2 = X @ R2.T + t2
+    chei = (Xc1[:, 2] > 0) & (Xc2[:, 2] > 0)
+    inv1 = INV_SIGMA2[f1.octave]
+    inv2 = INV_SIGMA2[f2.octave[safe2]]
+
+    def reproj_chi2(Xc, xy, ur, inv):
+        zc = jnp.clip(Xc[:, 2], 1e-9, None)
+        u = cam.fx * Xc[:, 0] / zc + cam.cx
+        v = cam.fy * Xc[:, 1] / zc + cam.cy
+        e_mono = ((u - xy[:, 0]) ** 2 + (v - xy[:, 1]) ** 2) * inv
+        ur_hat = u - cam.bf / zc
+        e_st = e_mono + ((ur_hat - ur) ** 2) * inv
+        return jnp.where(ur >= 0, e_st, e_mono), jnp.where(ur >= 0, 7.8, 5.991)
+
+    c1, th1 = reproj_chi2(Xc1, p1, f1.ur, inv1)
+    c2q, th2 = reproj_chi2(Xc2, p2, f2.ur[safe2], inv2)
+    reproj_ok = (c1 < th1) & (c2q < th2)
+    # scale consistency (reference :527-559, upstream semantics)
+    d1 = jnp.linalg.norm(X - Ow1[None], axis=-1)
+    d2 = jnp.linalg.norm(X - Ow2[None], axis=-1)
+    ratio_dist = d2 / jnp.clip(d1, 1e-9, None)
+    ratio_oct = SCALE_FACTORS[f1.octave] / SCALE_FACTORS[f2.octave[safe2]]
+    ratio_factor = 1.5 * SCALE
+    scale_ok = ((ratio_dist * ratio_factor >= ratio_oct)
+                & (ratio_dist <= ratio_oct * ratio_factor))
+    ok = (matched & finite & par_ok & chei & reproj_ok & scale_ok
+          & (d1 > 0) & (d2 > 0))
+    return insert_landmarks_two_view(m, cam, kf1, kf2, idx2, X, ok)
+
+
+@partial(jax.jit, donate_argnums=0)
+def triangulate_with_neighbors(m: MapState, cam: CamParams, kf,
+                               neighbors) -> MapState:
+    """CreateNewMapPoints over the top covisible neighbors (padded -1),
+    with the baseline gate: skip neighbors closer than 1% of their median
+    scene depth (mono rule, reference LocalMapping.cc:336-358)."""
+    Ow = -m.kf_R[kf].T @ m.kf_t[kf]
+
+    def body(i, mm):
+        j = neighbors[i]
+
+        def do(mm):
+            Owj = -mm.kf_R[j].T @ mm.kf_t[j]
+            baseline = jnp.linalg.norm(Owj - Ow)
+            # median scene depth of neighbor j (ComputeSceneMedianDepth q=2)
+            lm_j = mm.kf_lm[j]
+            has = (lm_j >= 0) & mm.kf_feat_valid[j] & mm.lm_valid[jnp.clip(lm_j, 0)]
+            pw = mm.lm_pw[jnp.clip(lm_j, 0)]
+            z = pw @ mm.kf_R[j][2] + mm.kf_t[j][2]
+            zs = jnp.sort(jnp.where(has, z, jnp.inf))
+            nv = jnp.sum(has)
+            med = zs[jnp.clip((nv - 1) // 2, 0, z.shape[0] - 1)]
+            ok = baseline / jnp.clip(med, 1e-9, None) > 0.01
+            return jax.lax.cond(
+                ok, lambda x: triangulate_landmarks(x, cam, kf, j),
+                lambda x: x, mm)
+
+        return jax.lax.cond(j >= 0, do, lambda x: x, mm)
+
+    return jax.lax.fori_loop(0, neighbors.shape[0], body, m)
+
+
+@partial(jax.jit, donate_argnums=0)
+def scale_map(m: MapState, s) -> MapState:
+    """Rescale the whole map (monocular gauge fix, reference:
+    CreateInitialMapMonocular Tracking.cc:791-817): landmark positions and
+    keyframe translations multiply by s."""
+    return m._replace(
+        kf_t=m.kf_t * s,
+        lm_pw=m.lm_pw * s,
+        lm_dmin=m.lm_dmin * s,
+        lm_dmax=m.lm_dmax * s,
+        kf_depth=jnp.where(m.kf_depth > 0, m.kf_depth * s, m.kf_depth),
+    )
+
+
+@jax.jit
+def scene_median_depth(m: MapState, kf) -> jax.Array:
+    """KeyFrame::ComputeSceneMedianDepth(2) (reference KeyFrame.cc:647-677)."""
+    lm = m.kf_lm[kf]
+    has = (lm >= 0) & m.kf_feat_valid[kf] & m.lm_valid[jnp.clip(lm, 0)]
+    z = m.lm_pw[jnp.clip(lm, 0)] @ m.kf_R[kf][2] + m.kf_t[kf][2]
+    zs = jnp.sort(jnp.where(has, z, jnp.inf))
+    nv = jnp.sum(has)
+    return zs[jnp.clip((nv - 1) // 2, 0, z.shape[0] - 1)]
+
+
+@partial(jax.jit, static_argnames=("width", "height"), donate_argnums=0)
+def keyframe_step_mono(m: MapState, cam, obs: FrameObs, R, t, frame_id,
+                       width: int, height: int) -> MapState:
+    """Monocular keyframe maintenance: insertion -> fuse inward ->
+    triangulate new landmarks against top covisible neighbors (the mono
+    map's ONLY landmark source) -> fuse outward -> refresh -> cull ->
+    local BA. Counterpart of keyframe_step without depth landmarks."""
+    from ..mapstate.map import covisibility_weights
+    k = m.n_kf
+    m = insert_keyframe(m, cam, obs, R, t, frame_id)
+    w = covisibility_weights(m, k)
+    top_w, top_i = jax.lax.top_k(w, 5)
+    neighbors = jnp.where(top_w > 0, top_i.astype(jnp.int32), -1)
+    m = fuse_neighbors(m, cam, k, neighbors, width, height, into=True)
+    m = triangulate_with_neighbors(m, cam, k, neighbors)
+    m = fuse_neighbors(m, cam, k, neighbors, width, height, into=False)
+    m = refresh_landmarks(m)
+    m = cull_landmarks(m, k)
+    has_neighbors = jnp.any(neighbors >= 0)
+    m = jax.lax.cond(has_neighbors,
+                     lambda mm: local_bundle_adjustment(mm, cam, k),
+                     lambda mm: mm, m)
+    return m
+
+
 # ---------------------------------------------------------------------------
 # tracking steps
 # ---------------------------------------------------------------------------
@@ -270,7 +492,7 @@ def local_landmark_mask(m: MapState, ref_kf) -> jax.Array:
 # local bundle adjustment + culling
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, donate_argnums=0)
+@partial(jax.jit, static_argnames=("iters_a",), donate_argnums=0)
 def local_bundle_adjustment(m: MapState, cam, cur_kf, iters_a: int = 5) -> MapState:
     """LocalBundleAdjustment (reference: Optimizer.cc:483-808): free poses =
     current KF + its covisible neighbors, fixed = every other KF observing a

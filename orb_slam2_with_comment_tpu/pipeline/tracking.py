@@ -36,6 +36,7 @@ class TrackState(enum.Enum):
 
 @dataclass
 class TrackerConfig:
+    sensor: str = "rgbd"  # "mono" | "stereo" | "rgbd"
     fx: float = 500.0
     fy: float = 500.0
     cx: float = 320.0
@@ -47,6 +48,11 @@ class TrackerConfig:
     th_depth: float = 40.0  # in baseline units (yaml ThDepth); meters = th_depth * bf/fx
     fps: float = 30.0
     min_init_features: int = 500
+    # monocular bootstrap gates (reference: >=100 matches and >=100 tracked
+    # after BA, Tracking.cc:687,787-799). Configurable because the gate
+    # scales with detector density: synthetic scenes carry ~200 level-0
+    # corners vs >400 on real imagery with the reference's 2x init extractor.
+    min_init_matches: int = 100
     map_cfg: MapConfig = field(default_factory=MapConfig)
     # local BA every keyframe (bounded-iteration chunk)
     local_ba_iters: int = 5
@@ -74,6 +80,11 @@ class Tracker:
     """Monocular/stereo/RGB-D tracker over a versioned functional map."""
 
     def __init__(self, cfg: TrackerConfig):
+        if cfg.map_cfg.n_feat != cfg.n_features:
+            raise ValueError(
+                f"map_cfg.n_feat ({cfg.map_cfg.n_feat}) must equal "
+                f"n_features ({cfg.n_features}): keyframe SoA rows are "
+                "fixed-width feature arrays")
         self.cfg = cfg
         self.extractor = OrbExtractor(n_features=cfg.n_features)
         self.map: MapState = empty_map(cfg.map_cfg)
@@ -95,6 +106,20 @@ class Tracker:
         # ORBvoc.txt absent from this environment — SURVEY §7.7)
         self.db = None
         self.loop_closer = None
+        # monocular two-view bootstrap state (reference:
+        # MonocularInitialization, Tracking.cc:638-726)
+        self._init_obs: steps.FrameObs | None = None
+        self._init_frame_id = -1
+        # localization-only mode: track against the frozen map, never
+        # insert keyframes (reference: System::ActivateLocalizationMode ->
+        # mbOnlyTracking, Tracking.cc:222-235)
+        self.localization_only = False
+        # relative-pose log for trajectory export (reference:
+        # mlRelativeFramePoses/mlpReferences, Tracking.cc:562-579): storing
+        # Tcr lets saved trajectories ride along with post-hoc keyframe
+        # corrections (loop closure / GBA), System.cc:336-394 semantics.
+        self.rel_log: list[tuple[int, float, int, object, object]] = []
+        self._timestamp = 0.0
 
     # -- helpers ---------------------------------------------------------
     def _frame_obs(self, img, depth_map):
@@ -142,6 +167,12 @@ class Tracker:
         # keep device arrays: forcing them to numpy here costs two tunnel
         # round trips per frame; conversion happens in trajectory_arrays()
         self.trajectory.append((frame_id, R, t))
+        # relative chain: Tcr = Tcw * Twr with the ref KF's pose AS OF NOW —
+        # later keyframe corrections then propagate into saved trajectories
+        Rr, tr = self.map.kf_R[self.ref_kf], self.map.kf_t[self.ref_kf]
+        Rcr, tcr = se3.compose(R, t, *se3.inverse(Rr, tr))
+        self.rel_log.append(
+            (frame_id, self._timestamp, self.ref_kf, Rcr, tcr))
 
     # -- main entry ------------------------------------------------------
     def process_rgbd(self, img, depth_map, frame_id=None):
@@ -192,10 +223,96 @@ class Tracker:
         self._log_pose(frame_id, R, t)
 
         tracked_close, non_tracked_close = close_pack // 10000, close_pack % 10000
-        if self._need_new_keyframe_stats(local_in, ref_matches,
-                                         tracked_close, non_tracked_close):
+        if (not self.localization_only
+                and self._need_new_keyframe_stats(
+                    local_in, ref_matches, tracked_close, non_tracked_close)):
             self._create_keyframe(obs, R, t, frame_id)
         return R, t
+
+    def process_mono(self, img, frame_id=None):
+        """Track one monocular frame; returns (R, t) or None (reference:
+        System::TrackMonocular System.cc:224 -> GrabImageMonocular
+        Tracking.cc:239). Scale is the monocular gauge: median scene depth
+        of the initial map is normalized to 1."""
+        if frame_id is None:
+            frame_id = self.frame_count
+        self.frame_count += 1
+        obs = self._frame_obs(img, None)
+        if self.state == TrackState.NOT_INITIALIZED:
+            ok = self._initialize_mono(obs, frame_id)
+            return (self.last_R, self.last_t) if ok else None
+        return self._process_obs(obs, frame_id)
+
+    def _initialize_mono(self, obs: steps.FrameObs, frame_id) -> bool:
+        """Two-view bootstrap (reference: MonocularInitialization
+        Tracking.cc:638-726 + CreateInitialMapMonocular :733-843): window
+        matching vs the init reference frame, batched H/F RANSAC, initial
+        two-keyframe map, full BA, median-depth gauge normalization."""
+        from ..matching import search as ms
+        from ..solvers import initializer as init_solver
+        n_valid = int(jnp.sum(obs.feats.valid))
+        if self._init_obs is None:
+            if n_valid > 100:  # reference :644
+                self._init_obs = obs
+                self._init_frame_id = frame_id
+            return False
+        if n_valid <= 100:
+            self._init_obs = None
+            return False
+        ref = self._init_obs
+        idx, dist, matched = ms.search_for_initialization(
+            ref.feats, obs.feats, ref.feats.xy)
+        n_match = int(jnp.sum(matched))
+        if n_match < self.cfg.min_init_matches:  # reference :687
+            self._init_obs = None
+            return False
+        K = (self.cfg.fx, self.cfg.fy, self.cfg.cx, self.cfg.cy)
+        key = jax.random.PRNGKey(0)  # seeded like DUtils SeedRandOnce(0)
+        p2 = obs.feats.xy[jnp.clip(idx, 0)]
+        res = init_solver.initialize(key, K, ref.feats.xy, p2, matched)
+        if not bool(res.success):
+            return False  # keep the reference frame, try the next frame
+        # build the 2-keyframe initial map
+        R0, t0 = jnp.eye(3), jnp.zeros(3)
+        self.map = steps.insert_keyframe(
+            self.map, self.cfg.cam, ref, R0, t0, jnp.int32(self._init_frame_id))
+        self.map = steps.insert_keyframe(
+            self.map, self.cfg.cam, obs, res.R, res.t, jnp.int32(frame_id))
+        self.map = steps.insert_landmarks_two_view(
+            self.map, self.cfg.cam, jnp.int32(0), jnp.int32(1),
+            idx, res.X, res.good & matched)
+        self.map = steps.refresh_landmarks(self.map)
+        # full BA over the two views (reference: 20 iters, Tracking.cc:787)
+        self.map = steps.local_bundle_adjustment(
+            self.map, self.cfg.cam, jnp.int32(1), iters_a=20)
+        # gauge: median scene depth of KF0 -> 1 (reference :791-817)
+        med = float(steps.scene_median_depth(self.map, jnp.int32(0)))
+        n_tracked = int(jnp.sum(self.map.kf_lm[1] >= 0))
+        if not np.isfinite(med) or med <= 0 or n_tracked < self.cfg.min_init_matches:
+            # failed bootstrap: wipe and restart (reference :793-799)
+            self.map = empty_map(self.cfg.map_cfg)
+            self._init_obs = None
+            return False
+        self.map = steps.scale_map(self.map, jnp.float32(1.0 / med))
+        self.n_kf_host = 2
+        self.ref_kf = 1
+        self.last_kf_frame = frame_id
+        self.last_R = self.map.kf_R[1]
+        self.last_t = self.map.kf_t[1]
+        self.last_obs = obs._replace(lm=self.map.kf_lm[1])
+        self.state = TrackState.OK
+        self._log_pose(frame_id, self.last_R, self.last_t)
+        from ..place import train_vocabulary
+        from ..place.database import KeyFrameDatabase
+        from .loop_closing import LoopCloser
+        descs = np.asarray(obs.feats.desc)[np.asarray(obs.feats.valid)]
+        voc = train_vocabulary(descs, k=8, levels=3, seed=0)
+        self.db = KeyFrameDatabase(voc, self.cfg.map_cfg.k_max)
+        self.db.add(0, ref.feats.desc, ref.feats.valid)
+        self.db.add(1, obs.feats.desc, obs.feats.valid)
+        self.loop_closer = LoopCloser(self.cfg.cam, self.db, fix_scale=False)
+        self._init_obs = None
+        return True
 
     def process_stereo(self, img_left, img_right, frame_id=None):
         """Track one rectified stereo frame; returns (R, t) or None
@@ -230,7 +347,7 @@ class Tracker:
         self.last_R, self.last_t = R, t
         self.last_obs = obs
         self._log_pose(frame_id, R, t)
-        if self._need_new_keyframe(obs):
+        if not self.localization_only and self._need_new_keyframe(obs):
             self._create_keyframe(obs, R, t, frame_id)
         return R, t
 
@@ -286,19 +403,22 @@ class Tracker:
         cam = self.cfg.cam
         cfg = self.cfg
         res = None
+        # motion-model window: 7 px stereo/RGB-D, 15 px monocular
+        # (reference: Tracking.cc:1011-1024)
+        th_mm = 15.0 if cfg.sensor == "mono" else 7.0
         if self.velocity is not None:
             Rv, tv = self.velocity
             R_pred, t_pred = se3.compose(Rv, tv, self.last_R, self.last_t)
             res = steps.track_motion_model(
                 cam, self.map, self.last_obs, self.last_R, self.last_t,
-                obs.feats, R_pred, t_pred, jnp.float32(7.0),
+                obs.feats, R_pred, t_pred, jnp.float32(th_mm),
                 jnp.float32(cfg.width), jnp.float32(cfg.height),
                 jnp.int32(cfg.desc_th))
             if int(res.n_inliers) < 10:
                 # widened window retry (reference: Tracking.cc:1011-1024 2x th)
                 res = steps.track_motion_model(
                     cam, self.map, self.last_obs, self.last_R, self.last_t,
-                    obs.feats, R_pred, t_pred, jnp.float32(14.0),
+                    obs.feats, R_pred, t_pred, jnp.float32(2 * th_mm),
                     jnp.float32(cfg.width), jnp.float32(cfg.height),
                     jnp.int32(cfg.desc_th))
             if int(res.n_inliers) < 10:
@@ -346,9 +466,13 @@ class Tracker:
         non_tracked_close = int(np.sum(close & (lm < 0)))
         need_close = tracked_close < 100 and non_tracked_close > 70
         n_in = self._n_inliers
-        # reference: thRefRatio = 0.75, or 0.4 with a single keyframe
-        # (Tracking.cc:1205-1210)
-        th_ref = 0.4 if self.n_kf_host < 2 else 0.75
+        # reference: thRefRatio = 0.75 (0.9 mono), or 0.4 with a single
+        # keyframe (Tracking.cc:1205-1210)
+        if self.cfg.sensor == "mono":
+            need_close = False
+            th_ref = 0.9
+        else:
+            th_ref = 0.4 if self.n_kf_host < 2 else 0.75
         c1a = frames_since >= cfg.fps
         # c1b in the reference is "LocalMapping idle". With synchronous
         # mapping it would be constantly true, which makes keyframe insertion
@@ -364,10 +488,15 @@ class Tracker:
 
     def _create_keyframe(self, obs, R, t, frame_id):
         kf = self.n_kf_host
-        self.map = steps.keyframe_step(
-            self.map, self.cfg.cam, obs, R, t, jnp.int32(frame_id),
-            jnp.float32(self.cfg.depth_threshold),
-            self.cfg.width, self.cfg.height)
+        if self.cfg.sensor == "mono":
+            self.map = steps.keyframe_step_mono(
+                self.map, self.cfg.cam, obs, R, t, jnp.int32(frame_id),
+                self.cfg.width, self.cfg.height)
+        else:
+            self.map = steps.keyframe_step(
+                self.map, self.cfg.cam, obs, R, t, jnp.int32(frame_id),
+                jnp.float32(self.cfg.depth_threshold),
+                self.cfg.width, self.cfg.height)
         self.n_kf_host += 1
         self.ref_kf = kf
         self.last_kf_frame = frame_id
