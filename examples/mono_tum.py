@@ -1,0 +1,38 @@
+#!/usr/bin/env python
+"""Monocular TUM driver (reference: Examples/Monocular/mono_tum.cc:36-125).
+
+Usage: mono_tum.py <settings.yaml> <sequence_dir>
+"""
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from orb_slam2_with_comment_tpu import Sensor, System
+from orb_slam2_with_comment_tpu.dataio.datasets import TumMonoDataset
+
+
+def main(argv):
+    if len(argv) < 3:
+        print(__doc__)
+        return 1
+    settings_path, seq_dir = argv[1], argv[2]
+    ds = TumMonoDataset(seq_dir)
+    print(f"Loaded {len(ds)} frames from {seq_dir}")
+    slam = System(settings_path=settings_path, sensor=Sensor.MONOCULAR)
+    times = []
+    for ts, img in ds:
+        t0 = time.perf_counter()
+        slam.track_monocular(img, ts)
+        times.append(time.perf_counter() - t0)
+    slam.shutdown()
+    times.sort()
+    n = len(times)
+    print(f"median tracking time: {times[n // 2]:.4f}s  "
+          f"mean: {sum(times) / n:.4f}s")
+    slam.save_keyframe_trajectory_tum("KeyFrameTrajectory.txt")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv))

@@ -1,0 +1,46 @@
+#!/usr/bin/env python
+"""RGB-D TUM driver (reference: Examples/RGB-D/rgbd_tum — the file is
+missing from the reference fork, SURVEY.md §0.1.4; behavior follows
+upstream + README.md:151-167: associations loader -> System::TrackRGBD,
+then SaveTrajectoryTUM + SaveKeyFrameTrajectoryTUM).
+
+Usage: rgbd_tum.py <settings.yaml> <sequence_dir> [associations.txt]
+"""
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from orb_slam2_with_comment_tpu import Sensor, System
+from orb_slam2_with_comment_tpu.dataio.datasets import TumRgbdDataset
+from orb_slam2_with_comment_tpu.dataio.settings import load_settings
+
+
+def main(argv):
+    if len(argv) < 3:
+        print(__doc__)
+        return 1
+    settings_path, seq_dir = argv[1], argv[2]
+    assoc = argv[3] if len(argv) > 3 else None
+    s = load_settings(settings_path)
+    ds = TumRgbdDataset(seq_dir, depth_map_factor=s.depth_map_factor,
+                        associations=assoc)
+    print(f"Loaded {len(ds)} frames from {seq_dir}")
+    slam = System(settings_path=settings_path, sensor=Sensor.RGBD)
+    times = []
+    for ts, rgb, depth in ds:
+        t0 = time.perf_counter()
+        slam.track_rgbd(rgb, depth, ts)
+        times.append(time.perf_counter() - t0)
+    slam.shutdown()
+    times.sort()
+    n = len(times)
+    print(f"median tracking time: {times[n // 2]:.4f}s  "
+          f"mean: {sum(times) / n:.4f}s")
+    slam.save_trajectory_tum("CameraTrajectory.txt")
+    slam.save_keyframe_trajectory_tum("KeyFrameTrajectory.txt")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv))

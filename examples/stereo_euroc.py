@@ -1,0 +1,48 @@
+#!/usr/bin/env python
+"""Stereo EuRoC driver with online rectification (reference:
+Examples/Stereo/stereo_euroc.cc:97-137 — initUndistortRectifyMap from the
+YAML LEFT./RIGHT. blocks, remap per frame, then System::TrackStereo).
+
+Usage: stereo_euroc.py <settings.yaml> <mav0_dir> <timestamps.txt>
+"""
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from orb_slam2_with_comment_tpu import Sensor, System
+from orb_slam2_with_comment_tpu.dataio.datasets import EurocDataset
+from orb_slam2_with_comment_tpu.dataio.rectify import StereoRectifier
+from orb_slam2_with_comment_tpu.dataio.settings import load_settings
+
+
+def main(argv):
+    if len(argv) < 4:
+        print(__doc__)
+        return 1
+    settings_path, mav_dir, times_path = argv[1], argv[2], argv[3]
+    s = load_settings(settings_path)
+    if s.left_rect is None:
+        print("settings file has no LEFT./RIGHT. rectification blocks")
+        return 1
+    rect = StereoRectifier(s.left_rect, s.right_rect, s.width, s.height)
+    ds = EurocDataset(mav_dir, times_path, stereo=True)
+    print(f"Loaded {len(ds)} frames from {mav_dir}")
+    slam = System(settings_path=settings_path, sensor=Sensor.STEREO)
+    times = []
+    for ts, left, right in ds:
+        t0 = time.perf_counter()
+        left_r, right_r = rect(left, right)
+        slam.track_stereo(left_r, right_r, ts)
+        times.append(time.perf_counter() - t0)
+    slam.shutdown()
+    times.sort()
+    n = len(times)
+    print(f"median tracking time: {times[n // 2]:.4f}s  "
+          f"mean: {sum(times) / n:.4f}s")
+    slam.save_trajectory_tum("CameraTrajectory.txt")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv))

@@ -24,3 +24,5 @@ Layer map (mirrors SURVEY.md §1, re-designed TPU-first):
 """
 
 __version__ = "0.1.0"
+
+from .system import Sensor, System  # noqa: E402,F401

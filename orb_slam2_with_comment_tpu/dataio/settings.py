@@ -1,0 +1,131 @@
+"""Settings loader: the reference's per-sensor YAML files, unchanged.
+
+The reference reads its settings with cv::FileStorage (reference:
+System.cc:59-64, Tracking.cc:46-150). This loader accepts the exact same
+YAML files (TUM1.yaml, KITTI00-02.yaml, EuRoC.yaml, ...) so a user can
+point the TPU framework at their existing configs. Parsing is done with a
+small self-contained reader for the cv::FileStorage dialect ("%YAML:1.0"
+header, `!!opencv-matrix` nodes) so no OpenCV dependency is required; if
+cv2 is present it is used as a cross-check in tests only.
+"""
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+def parse_opencv_yaml(path: str) -> dict:
+    """Parse a cv::FileStorage YAML file into {key: float | np.ndarray}."""
+    text = open(path, "r", encoding="utf-8", errors="replace").read()
+    # strip the %YAML:1.0 directive and document markers
+    lines = [ln for ln in text.splitlines()
+             if not ln.strip().startswith("%YAML") and ln.strip() != "---"]
+    out: dict = {}
+    i = 0
+    n = len(lines)
+    while i < n:
+        ln = lines[i]
+        i += 1
+        s = ln.strip()
+        if not s or s.startswith("#"):
+            continue
+        m = re.match(r"^([A-Za-z0-9_.]+):\s*(.*)$", s)
+        if not m:
+            continue
+        key, val = m.group(1), m.group(2).split("#")[0].strip()
+        if val and val != "!!opencv-matrix":
+            # scalar
+            try:
+                out[key] = float(val)
+            except ValueError:
+                out[key] = val.strip('"')
+            continue
+        # matrix node: rows/cols/dt/data possibly spanning lines
+        node_lines = []
+        while i < n and (lines[i].startswith(" ") or lines[i].startswith("\t")):
+            node_lines.append(lines[i].strip())
+            i += 1
+        node = " ".join(node_lines)
+        rows = int(re.search(r"rows:\s*(\d+)", node).group(1))
+        cols = int(re.search(r"cols:\s*(\d+)", node).group(1))
+        data = re.search(r"data:\s*\[([^\]]*)\]", node).group(1)
+        vals = [float(x) for x in data.replace(",", " ").split()]
+        out[key] = np.asarray(vals, np.float64).reshape(rows, cols)
+    return out
+
+
+@dataclass
+class Settings:
+    """Typed view of a reference settings file (reference: Tracking.cc:46-150)."""
+    fx: float = 500.0
+    fy: float = 500.0
+    cx: float = 320.0
+    cy: float = 240.0
+    dist: np.ndarray = field(default_factory=lambda: np.zeros(5))
+    bf: float = 0.0
+    fps: float = 30.0
+    rgb: bool = True
+    th_depth: float = 35.0
+    depth_map_factor: float = 1.0
+    n_features: int = 1000
+    scale_factor: float = 1.2
+    n_levels: int = 8
+    ini_th_fast: int = 20
+    min_th_fast: int = 7
+    # stereo rectification blocks (EuRoC), None if absent
+    left_rect: dict | None = None
+    right_rect: dict | None = None
+    width: int = 640
+    height: int = 480
+
+
+def load_settings(path: str) -> Settings:
+    raw = parse_opencv_yaml(path)
+    s = Settings()
+    g = raw.get
+    s.fx = float(g("Camera.fx", s.fx))
+    s.fy = float(g("Camera.fy", s.fy))
+    s.cx = float(g("Camera.cx", s.cx))
+    s.cy = float(g("Camera.cy", s.cy))
+    d = [float(g("Camera.k1", 0.0)), float(g("Camera.k2", 0.0)),
+         float(g("Camera.p1", 0.0)), float(g("Camera.p2", 0.0)),
+         float(g("Camera.k3", 0.0))]
+    s.dist = np.asarray(d)
+    s.bf = float(g("Camera.bf", 0.0))
+    s.fps = float(g("Camera.fps", 30.0)) or 30.0
+    s.rgb = bool(int(g("Camera.RGB", 1)))
+    s.th_depth = float(g("ThDepth", 35.0))
+    dmf = float(g("DepthMapFactor", 1.0))
+    s.depth_map_factor = 1.0 if abs(dmf) < 1e-5 else dmf
+    s.n_features = int(g("ORBextractor.nFeatures", 1000))
+    s.scale_factor = float(g("ORBextractor.scaleFactor", 1.2))
+    s.n_levels = int(g("ORBextractor.nLevels", 8))
+    s.ini_th_fast = int(g("ORBextractor.iniThFAST", 20))
+    s.min_th_fast = int(g("ORBextractor.minThFAST", 7))
+    s.width = int(g("Camera.width", 640))
+    s.height = int(g("Camera.height", 480))
+    if "LEFT.K" in raw:
+        s.left_rect = {k.split(".", 1)[1]: raw[k] for k in raw if k.startswith("LEFT.")}
+        s.right_rect = {k.split(".", 1)[1]: raw[k] for k in raw if k.startswith("RIGHT.")}
+        s.width = int(s.left_rect.get("width", s.width))
+        s.height = int(s.left_rect.get("height", s.height))
+    return s
+
+
+def load_tracker_config(path: str):
+    """Settings file -> TrackerConfig (sensor is set by the System ctor).
+
+    The map capacity is sized to the extractor budget: feature slots per
+    keyframe MUST equal ORBextractor.nFeatures (SoA rows are fixed-width).
+    """
+    from ..mapstate.map import MapConfig
+    from ..pipeline import TrackerConfig
+    s = load_settings(path)
+    map_cfg = MapConfig(n_feat=s.n_features)
+    return TrackerConfig(
+        fx=s.fx, fy=s.fy, cx=s.cx, cy=s.cy, bf=s.bf or 40.0,
+        width=s.width, height=s.height, n_features=s.n_features,
+        th_depth=s.th_depth, fps=s.fps, map_cfg=map_cfg,
+    )

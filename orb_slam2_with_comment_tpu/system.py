@@ -1,0 +1,190 @@
+"""System façade: construction, per-frame entry points, mode switches,
+reset, shutdown, trajectory export.
+
+TPU-native rebuild of the reference's System class (reference:
+src/System.cc:38-506, include/System.h:62-123). The reference spawns
+LocalMapping / LoopClosing / Viewer threads and cross-wires pointers; here
+the pipeline is the host-sequenced functional-map design of
+pipeline.tracking, so construction just configures the tracker, and
+Shutdown has nothing to join. Trajectory export keeps the reference's
+relative-pose-chain semantics (System.cc:336-394): each frame stores
+Tcr against its reference keyframe, and the saved pose is Tcr * Trw with
+the keyframe pose as of save time, so loop-closure / GBA corrections
+propagate into saved trajectories.
+"""
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .geometry import se3
+from .pipeline import Tracker, TrackerConfig, TrackState
+
+
+class Sensor(enum.Enum):
+    MONOCULAR = 0
+    STEREO = 1
+    RGBD = 2
+
+
+_SENSOR_NAME = {Sensor.MONOCULAR: "mono", Sensor.STEREO: "stereo",
+                Sensor.RGBD: "rgbd"}
+
+
+class System:
+    """User-facing façade (reference: System.h:62-123).
+
+    Parameters mirror the reference constructor minus the vocabulary file
+    (the BoW vocabulary is trained online from the first keyframe —
+    pipeline.tracking) and the viewer flag (visualization.export replaces
+    the Pangolin GUI).
+    """
+
+    def __init__(self, config: TrackerConfig | None = None,
+                 sensor: Sensor = Sensor.RGBD, settings_path: str | None = None):
+        if config is None and settings_path is not None:
+            from .dataio.settings import load_tracker_config
+            config = load_tracker_config(settings_path)
+        if config is None:
+            config = TrackerConfig()
+        config.sensor = _SENSOR_NAME[sensor]
+        self.sensor = sensor
+        self.config = config
+        self.tracker = Tracker(config)
+        self._localization_mode = False
+        self._shutdown = False
+        self._big_change_idx = 0
+
+    # -- per-frame entries (reference: System.cc:123-313) ----------------
+    def track_monocular(self, img, timestamp: float = 0.0):
+        """Reference: System::TrackMonocular (System.cc:224-282).
+        Returns 4x4 Tcw (world->camera) or None when tracking failed."""
+        assert self.sensor == Sensor.MONOCULAR, "wrong sensor for TrackMonocular"
+        self.tracker._timestamp = timestamp
+        out = self.tracker.process_mono(img)
+        return self._pose44(out)
+
+    def track_stereo(self, img_left, img_right, timestamp: float = 0.0):
+        """Reference: System::TrackStereo (System.cc:123-180)."""
+        assert self.sensor == Sensor.STEREO, "wrong sensor for TrackStereo"
+        self.tracker._timestamp = timestamp
+        out = self.tracker.process_stereo(img_left, img_right)
+        return self._pose44(out)
+
+    def track_rgbd(self, img, depth, timestamp: float = 0.0):
+        """Reference: System::TrackRGBD (System.cc:182-222)."""
+        assert self.sensor == Sensor.RGBD, "wrong sensor for TrackRGBD"
+        self.tracker._timestamp = timestamp
+        out = self.tracker.process_rgbd(img, depth)
+        return self._pose44(out)
+
+    @staticmethod
+    def _pose44(out):
+        if out is None:
+            return None
+        R, t = np.asarray(out[0]), np.asarray(out[1])
+        T = np.eye(4, dtype=np.float64)
+        T[:3, :3] = R
+        T[:3, 3] = t
+        return T
+
+    # -- mode switches (reference: System.cc:284-307) --------------------
+    def activate_localization_mode(self):
+        """Tracking-only: the map is frozen, no keyframes are inserted
+        (reference: System::ActivateLocalizationMode System.cc:284)."""
+        self._localization_mode = True
+        self.tracker.localization_only = True
+
+    def deactivate_localization_mode(self):
+        self._localization_mode = False
+        self.tracker.localization_only = False
+
+    def map_changed(self) -> bool:
+        """Poll-style big-map-change signal (reference: System::MapChanged
+        System.cc:309-320, Map::GetLastBigChangeIdx)."""
+        idx = self.tracker.n_kf_host
+        if self.tracker.loop_closer is not None:
+            idx += 1000 * self.tracker.loop_closer.n_loops_closed
+        changed = idx != self._big_change_idx
+        self._big_change_idx = idx
+        return changed
+
+    def reset(self):
+        """Clear the map and restart tracking (reference: System::Reset ->
+        Tracking::Reset, Tracking.cc:1780-1826)."""
+        self.tracker = Tracker(self.config)
+
+    def shutdown(self):
+        """Reference: System::Shutdown (System.cc:315-334) joins the three
+        threads; the functional pipeline has nothing to join — the flag
+        only guards against further tracking calls."""
+        self._shutdown = True
+
+    # -- state inspection (reference: System.h:137-146) ------------------
+    def get_tracking_state(self) -> TrackState:
+        return self.tracker.state
+
+    def get_tracked_map_points(self) -> int:
+        return self.tracker._n_inliers
+
+    # -- trajectory export (reference: System.cc:336-486) ----------------
+    def _chain_poses(self, keyframes_only: bool = False):
+        """Resolve the relative-pose chain to absolute Tcw per frame."""
+        tr = self.tracker
+        m = tr.map
+        kf_R = np.asarray(m.kf_R)
+        kf_t = np.asarray(m.kf_t)
+        rows = []
+        if keyframes_only:
+            n = tr.n_kf_host
+            frame_ids = np.asarray(m.kf_frame_id[:n])
+            ts_by_frame = {fid: ts for fid, ts, *_ in tr.rel_log}
+            for k in range(n):
+                ts = ts_by_frame.get(int(frame_ids[k]), float(frame_ids[k]))
+                rows.append((ts, kf_R[k], kf_t[k]))
+            return rows
+        for frame_id, ts, ref, Rcr, tcr in tr.rel_log:
+            Rcr = np.asarray(Rcr)
+            tcr = np.asarray(tcr)
+            Rcw = Rcr @ kf_R[ref]
+            tcw = Rcr @ kf_t[ref] + tcr
+            rows.append((ts, Rcw, tcw))
+        return rows
+
+    @staticmethod
+    def _tum_line(ts, Rcw, tcw):
+        # output camera-to-world (reference: System.cc:372-392)
+        Rwc = Rcw.T
+        twc = -Rwc @ tcw
+        import jax.numpy as jnp
+        q = np.asarray(se3.matrix_to_quat(jnp.asarray(Rwc)))  # [w, x, y, z]
+        return (f"{ts:.6f} {twc[0]:.7f} {twc[1]:.7f} {twc[2]:.7f} "
+                f"{q[1]:.7f} {q[2]:.7f} {q[3]:.7f} {q[0]:.7f}")
+
+    def save_trajectory_tum(self, path: str):
+        """Per-frame camera trajectory, TUM format `ts tx ty tz qx qy qz qw`
+        (reference: System::SaveTrajectoryTUM System.cc:336-394)."""
+        with open(path, "w") as f:
+            for ts, Rcw, tcw in self._chain_poses():
+                f.write(self._tum_line(ts, Rcw, tcw) + "\n")
+
+    def save_keyframe_trajectory_tum(self, path: str):
+        """Keyframe poses only (reference: System::SaveKeyFrameTrajectoryTUM
+        System.cc:396-431)."""
+        with open(path, "w") as f:
+            for ts, Rcw, tcw in self._chain_poses(keyframes_only=True):
+                f.write(self._tum_line(ts, Rcw, tcw) + "\n")
+
+    def save_trajectory_kitti(self, path: str):
+        """Per-frame camera-to-world 3x4 row-major (reference:
+        System::SaveTrajectoryKITTI System.cc:433-486)."""
+        with open(path, "w") as f:
+            for ts, Rcw, tcw in self._chain_poses():
+                Rwc = Rcw.T
+                twc = -Rwc @ tcw
+                vals = [Rwc[0, 0], Rwc[0, 1], Rwc[0, 2], twc[0],
+                        Rwc[1, 0], Rwc[1, 1], Rwc[1, 2], twc[1],
+                        Rwc[2, 0], Rwc[2, 1], Rwc[2, 2], twc[2]]
+                f.write(" ".join(f"{v:.9e}" for v in vals) + "\n")
