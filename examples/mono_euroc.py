@@ -9,6 +9,9 @@ import time
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 from orb_slam2_with_comment_tpu import Sensor, System
+from orb_slam2_with_comment_tpu.runtime import enable_compilation_cache
+
+enable_compilation_cache()
 from orb_slam2_with_comment_tpu.dataio.datasets import EurocDataset
 
 

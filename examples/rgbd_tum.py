@@ -12,6 +12,9 @@ import time
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 from orb_slam2_with_comment_tpu import Sensor, System
+from orb_slam2_with_comment_tpu.runtime import enable_compilation_cache
+
+enable_compilation_cache()
 from orb_slam2_with_comment_tpu.dataio.datasets import TumRgbdDataset
 from orb_slam2_with_comment_tpu.dataio.settings import load_settings
 
@@ -28,7 +31,7 @@ def main(argv):
     print(f"Loaded {len(ds)} frames from {seq_dir}")
     slam = System(settings_path=settings_path, sensor=Sensor.RGBD)
     times = []
-    for ts, rgb, depth in ds:
+    for ts, rgb, depth in ds.prefetch():
         t0 = time.perf_counter()
         slam.track_rgbd(rgb, depth, ts)
         times.append(time.perf_counter() - t0)

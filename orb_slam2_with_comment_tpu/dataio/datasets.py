@@ -100,6 +100,36 @@ class TumRgbdDataset:
                    _imread_gray(os.path.join(self.seq_dir, rgb_rel)),
                    _imread_depth(os.path.join(self.seq_dir, dep_rel), self.factor))
 
+    def prefetch(self, n_threads: int = 4):
+        """Iterate with the native C++ threaded decoder (native/
+        frame_loader.cc): PNG decode overlaps tracking compute instead of
+        blocking it (the reference decodes synchronously on the tracking
+        thread, mono_tum.cc:87-96). Falls back to the PIL path when the
+        native toolchain is unavailable."""
+        from . import native_loader
+        if native_loader.get_lib() is None or not self.items:
+            yield from self
+            return
+        first = _imread_gray(os.path.join(self.seq_dir, self.items[0][1]))
+        h, w = first.shape
+        rgb_paths = [os.path.join(self.seq_dir, r) for _, r, _ in self.items]
+        dep_paths = [os.path.join(self.seq_dir, d) for _, _, d in self.items]
+        rgb_l = native_loader.NativeSequenceLoader(
+            rgb_paths, h, w, n_threads=n_threads)
+        dep_l = native_loader.NativeSequenceLoader(
+            dep_paths, h, w, n_threads=n_threads, is_depth=True,
+            depth_factor=self.factor)
+        try:
+            for ts, _, _ in self.items:
+                rgb = rgb_l.next()
+                dep = dep_l.next()
+                if rgb is None or dep is None:
+                    break
+                yield ts, rgb, dep
+        finally:
+            rgb_l.close()
+            dep_l.close()
+
 
 class TumMonoDataset:
     """TUM monocular: yields (ts, gray)."""

@@ -133,6 +133,16 @@ def covisibility_weights(m: MapState, kf_idx) -> jax.Array:
     return w * m.kf_valid.astype(jnp.int32)
 
 
+@jax.jit
+def covisibility_matrix(m: MapState) -> jax.Array:
+    """[K, K] covisibility weights in ONE device call (replaces per-row
+    covisibility_weights loops in loop detection / essential graph; each
+    eager row was a full tunnel round trip on remote-attached TPUs)."""
+    K = m.kf_R.shape[0]
+    return jax.vmap(lambda k: covisibility_weights(m, k))(
+        jnp.arange(K, dtype=jnp.int32))
+
+
 def landmark_obs_count(m: MapState) -> jax.Array:
     """[L] number of observations per landmark."""
     return jnp.sum((m.lm_obs_kf >= 0).astype(jnp.int32), axis=1)

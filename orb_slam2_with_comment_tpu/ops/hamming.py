@@ -19,9 +19,21 @@ def hamming_pair(a: jax.Array, b: jax.Array) -> jax.Array:
 
 
 @jax.jit
-def distance_matrix(d1: jax.Array, d2: jax.Array) -> jax.Array:
-    """[N1, 8] x [N2, 8] uint32 -> [N1, N2] int32 Hamming distances."""
+def _distance_matrix_xla(d1: jax.Array, d2: jax.Array) -> jax.Array:
     return hamming_pair(d1[:, None, :], d2[None, :, :])
+
+
+def distance_matrix(d1: jax.Array, d2: jax.Array) -> jax.Array:
+    """[N1, 8] x [N2, 8] uint32 -> [N1, N2] int32 Hamming distances.
+
+    On TPU this lowers to the tiled Pallas kernel (ops.hamming_pallas);
+    elsewhere (CPU tests, interpret-mode debugging) the XLA broadcast
+    path is used. Backend choice is made at trace time.
+    """
+    if jax.default_backend() == "tpu":
+        from .hamming_pallas import distance_matrix_pallas
+        return distance_matrix_pallas(d1, d2)
+    return _distance_matrix_xla(d1, d2)
 
 
 def best_two(dist: jax.Array, valid: jax.Array | None = None, big: int = 10_000):

@@ -21,7 +21,8 @@ import jax
 import jax.numpy as jnp
 
 from ..geometry import se3, sim3
-from ..mapstate.map import MapState, covisibility_weights, rebuild_observations
+from ..mapstate.map import (MapState, covisibility_matrix,
+                             covisibility_weights, rebuild_observations)
 from ..matching import search as msearch
 from ..optim import ba, pose_graph, sim3_opt
 from ..optim.residuals import CamParams
@@ -53,14 +54,15 @@ class LoopCloser:
         if kf - self.last_loop_kf < self.min_gap:
             self.prev_groups = []
             return None
-        # min score among covisible keyframes (reference :126-140)
-        w = np.asarray(covisibility_weights(m, jnp.int32(kf)))
-        covis = np.where(w > 0)[0]
-        vec = self.db.bow[kf]
-        s_all = np.asarray(self.db.scores(vec, m.kf_valid))
+        # one batched covisibility matrix + one score sweep for the whole
+        # detection pass (was one device round trip per keyframe row)
+        W = np.asarray(covisibility_matrix(m))
+        covis = np.where(W[kf] > 0)[0]
+        s_all = np.asarray(self.db.scores(self.db.bow[kf], m.kf_valid))
         min_score = float(min([s_all[int(j)] for j in covis], default=0.5))
         min_score = max(min_score, 0.0)
-        candidates = self.db.detect_loop_candidates(m, kf, min_score)
+        candidates = self.db.detect_loop_candidates(m, kf, min_score,
+                                                    covis=W)
         if not candidates:
             self.prev_groups = []
             return None
@@ -68,7 +70,7 @@ class LoopCloser:
         new_groups: list[tuple[set[int], int]] = []
         enough: list[int] = []
         for c in candidates:
-            group = self._covis_group(m, c)
+            group = {int(j) for j in np.where(W[c] > 0)[0]} | {c}
             count = 0
             for prev_set, prev_count in self.prev_groups:
                 if group & prev_set:
@@ -177,11 +179,8 @@ class LoopCloser:
         K = m.kf_R.shape[0]
         # edges: covisibility pairs with weight >= 15 + the loop edge; all
         # measured from current (post-propagation) relative poses
-        W = np.zeros((K, K), np.int32)
-        for i in range(K):
-            if not bool(m.kf_valid[i]):
-                continue
-            W[i] = np.asarray(covisibility_weights(m, jnp.int32(i)))
+        W = np.asarray(covisibility_matrix(m))
+        W[~np.asarray(m.kf_valid)] = 0
         pairs = [(i, j) for i in range(K) for j in range(i + 1, K)
                  if W[i, j] >= 15]
         if (kf, cand) not in pairs and (cand, kf) not in pairs:

@@ -361,6 +361,7 @@ def keyframe_step_mono(m: MapState, cam, obs: FrameObs, R, t, frame_id,
     m = fuse_neighbors(m, cam, k, neighbors, width, height, into=True)
     m = triangulate_with_neighbors(m, cam, k, neighbors)
     m = fuse_neighbors(m, cam, k, neighbors, width, height, into=False)
+    m = merge_duplicate_landmarks(m, k)
     m = refresh_landmarks(m)
     m = cull_landmarks(m, k)
     has_neighbors = jnp.any(neighbors >= 0)
@@ -536,6 +537,14 @@ def local_bundle_adjustment(m: MapState, cam, cur_kf, iters_a: int = 5) -> MapSt
         kf_R=res.R, kf_t=res.t, lm_pw=res.X,
         lm_obs_kf=new_obs_kf, kf_lm=kf_lm,
     )
+    # Landmarks whose last observation was just erased are dead weight:
+    # they stay matchable by descriptor but are no longer anchored by any
+    # keyframe, so BA never corrects them and they poison projection
+    # matching (the reference's MapPointCulling handles this the next
+    # round; with culling running before BA in the fused keyframe step the
+    # orphans would otherwise survive forever).
+    nobs_after = jnp.sum(new_obs_kf >= 0, axis=1)
+    m = m._replace(lm_valid=m.lm_valid & (nobs_after > 0))
     return m
 
 
@@ -603,6 +612,49 @@ def fuse_pair(m: MapState, cam, src_kf, dst_kf, width: int, height: int) -> MapS
     keep = jnp.where(n_self >= n_other, lm_ids, other)
     kill = jnp.where(n_self >= n_other, other, lm_ids)
     return merge_landmarks(m, jnp.clip(keep, 0), jnp.clip(kill, 0), dup)
+
+
+@partial(jax.jit, static_argnames=("block",), donate_argnums=0)
+def merge_duplicate_landmarks(m: MapState, cur_kf, block: int = 1024) -> MapState:
+    """Sweep freshly created landmarks for duplicates of older ones and
+    merge them (reference analogue: MapPoint::Replace via ORBmatcher::Fuse;
+    this global position+descriptor sweep is the SoA-native generalization
+    that catches duplicates Fuse's window search misses under drift).
+
+    Landmark slots are append-only, so this keyframe's creations form a
+    suffix: a fixed ``block`` ending at n_lm bounds the candidate set with
+    static shapes. A recent landmark merges into the closest OLDER landmark
+    within a scale-aware radius whose descriptor agrees (Hamming <= 50).
+    """
+    from ..ops.hamming import distance_matrix
+    L = m.lm_pw.shape[0]
+    R = min(block, L)
+    start = jnp.clip(m.n_lm - R, 0, L - R)
+    slot = start + jnp.arange(R, dtype=jnp.int32)
+    pw_r = jax.lax.dynamic_slice(m.lm_pw, (start, 0), (R, 3))
+    desc_r = jax.lax.dynamic_slice(m.lm_desc, (start, 0), (R, 8))
+    first_r = jax.lax.dynamic_slice(m.lm_first_kf, (start,), (R,))
+    valid_r = jax.lax.dynamic_slice(m.lm_valid, (start,), (R,))
+    recent = valid_r & (first_r == cur_kf) & (slot < m.n_lm)
+    # distance to every landmark (sum of squared component diffs keeps the
+    # peak intermediate at [R, L] instead of [R, L, 3])
+    d2 = ((pw_r[:, 0:1] - m.lm_pw[None, :, 0]) ** 2
+          + (pw_r[:, 1:2] - m.lm_pw[None, :, 1]) ** 2
+          + (pw_r[:, 2:3] - m.lm_pw[None, :, 2]) ** 2)
+    ham = distance_matrix(desc_r, m.lm_desc)
+    tol = jnp.clip(0.015 * m.lm_dmax, 0.005, 0.05)[None, :]
+    # merge into any strictly-lower slot (covers both older keyframes'
+    # landmarks and same-keyframe octave duplicates; strict ordering
+    # prevents cycles, merge_landmarks compresses chains)
+    lower = m.lm_valid[None, :] & (
+        jnp.arange(L, dtype=jnp.int32)[None, :] < slot[:, None])
+    ok = (lower & (d2 < tol * tol) & (ham <= 50)
+          & recent[:, None])
+    d2m = jnp.where(ok, d2, jnp.inf)
+    tgt = jnp.argmin(d2m, axis=1).astype(jnp.int32)
+    has = jnp.isfinite(jnp.min(d2m, axis=1))
+    from ..mapstate.map import merge_landmarks
+    return merge_landmarks(m, tgt, slot, has & recent)
 
 
 @partial(jax.jit, donate_argnums=0)
@@ -794,6 +846,7 @@ def keyframe_step(m: MapState, cam, obs: FrameObs, R, t, frame_id,
     m = fuse_neighbors(m, cam, k, neighbors, width, height, into=True)
     m = create_depth_landmarks(m, cam, k, th_depth)
     m = fuse_neighbors(m, cam, k, neighbors, width, height, into=False)
+    m = merge_duplicate_landmarks(m, k)
     m = refresh_landmarks(m)
     m = cull_landmarks(m, k)
     has_neighbors = jnp.any(neighbors >= 0)

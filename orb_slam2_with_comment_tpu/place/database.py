@@ -10,6 +10,11 @@ those above 0.75 x best accumulated score
 (reference: DetectLoopCandidates :76-197, DetectRelocalizationCandidates
 :199-309 — word-sharing prefilters were inverted-file bookkeeping; dense
 scoring subsumes them).
+
+All device work is jit-compiled once per vocabulary: BoW transform +
+database update is ONE device call per keyframe, candidate scoring ONE
+call per query (the covisibility matrix arrives batched from
+mapstate.covisibility_matrix).
 """
 from __future__ import annotations
 
@@ -17,7 +22,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..mapstate.map import MapState, covisibility_weights
+from ..mapstate.map import MapState, covisibility_matrix
 from . import vocabulary as V
 
 
@@ -27,29 +32,39 @@ class KeyFrameDatabase:
     def __init__(self, voc: V.Vocabulary, k_max: int):
         self.voc = voc
         self.bow = jnp.zeros((k_max, voc.n_words), jnp.float32)
+        # jit once per vocabulary: the tree arrays are closure constants
+        self._frame_vec = jax.jit(
+            lambda desc, valid: V.bow_vectors(
+                voc, V.transform(voc, desc, valid), valid))
+        self._add = jax.jit(
+            lambda bow, kf, desc, valid: bow.at[kf].set(
+                V.bow_vectors(voc, V.transform(voc, desc, valid), valid)),
+            donate_argnums=0)
+        self._scores = jax.jit(
+            lambda bow, vec, kf_valid: jnp.where(
+                kf_valid, V.score_l1(vec, bow), -1.0))
 
     def add(self, kf: int, desc: jax.Array, valid: jax.Array):
-        words = V.transform(self.voc, desc, valid)
-        vec = V.bow_vectors(self.voc, words, valid)
-        self.bow = self.bow.at[kf].set(vec)
+        self.bow = self._add(self.bow, kf, desc, valid)
 
     def frame_vector(self, desc: jax.Array, valid: jax.Array) -> jax.Array:
-        words = V.transform(self.voc, desc, valid)
-        return V.bow_vectors(self.voc, words, valid)
+        return self._frame_vec(desc, valid)
 
     def scores(self, vec: jax.Array, kf_valid: jax.Array) -> jax.Array:
-        s = V.score_l1(vec, self.bow)
-        return jnp.where(kf_valid, s, -1.0)
+        return self._scores(self.bow, vec, kf_valid)
 
     def detect_loop_candidates(self, m: MapState, kf: int, min_score: float,
-                               max_candidates: int = 5) -> list[int]:
-        """Reference gating (KeyFrameDatabase.cc:76-197) over dense scores."""
-        vec = self.bow[kf]
-        w = covisibility_weights(m, jnp.int32(kf))
-        connected = np.asarray(w) > 0
-        s = np.array(self.scores(vec, m.kf_valid))  # writable copy
+                               max_candidates: int = 5,
+                               covis: np.ndarray | None = None) -> list[int]:
+        """Reference gating (KeyFrameDatabase.cc:76-197) over dense scores.
+
+        covis: optional precomputed [K, K] covisibility matrix (numpy) to
+        avoid a second device round trip."""
+        if covis is None:
+            covis = np.asarray(covisibility_matrix(m))
+        s = np.array(self.scores(self.bow[kf], m.kf_valid))  # writable copy
         s[kf] = -1
-        s[connected] = -1
+        s[covis[kf] > 0] = -1
         s[~np.asarray(m.kf_valid)] = -1
         cand = np.where(s >= min_score)[0]
         if len(cand) == 0:
@@ -57,7 +72,7 @@ class KeyFrameDatabase:
         # accumulate over each candidate's top-10 covisibility group
         acc = {}
         for c in cand:
-            wc = np.asarray(covisibility_weights(m, jnp.int32(int(c))))
+            wc = covis[int(c)]
             group = np.argsort(-wc)[:10]
             group = [int(g) for g in group if wc[g] > 0] + [int(c)]
             group_scores = [s[g] for g in group if s[g] > 0]
