@@ -368,6 +368,7 @@ def keyframe_step_mono(m: MapState, cam, obs: FrameObs, R, t, frame_id,
     m = jax.lax.cond(has_neighbors,
                      lambda mm: local_bundle_adjustment(mm, cam, k),
                      lambda mm: mm, m)
+    m = cull_keyframes(m, k)
     return m
 
 
@@ -614,6 +615,43 @@ def fuse_pair(m: MapState, cam, src_kf, dst_kf, width: int, height: int) -> MapS
     return merge_landmarks(m, jnp.clip(keep, 0), jnp.clip(kill, 0), dup)
 
 
+@partial(jax.jit, donate_argnums=0)
+def cull_keyframes(m: MapState, cur_kf) -> MapState:
+    """KeyFrameCulling (reference: LocalMapping.cc:775-841): a keyframe is
+    redundant when >= 90% of its landmarks are observed by >= 3 OTHER
+    keyframes at the same or finer scale (octave <= own + 1). Culled
+    keyframes keep their pose rows (trajectory chains stay resolvable) but
+    drop out of covisibility, BA, and the observation table.
+
+    Keyframe 0 (gauge) and the current keyframe are never culled; slots
+    are append-only, so culling is map hygiene + compute bounding, not
+    slot recycling (capacity compaction is a separate maintenance pass).
+    """
+    K, N = m.kf_lm.shape
+    lm = jnp.clip(m.kf_lm, 0)                       # [K, N]
+    has = (m.kf_lm >= 0) & m.kf_feat_valid & m.lm_valid[lm] & m.kf_valid[:, None]
+    obs_kf = m.lm_obs_kf[lm]                        # [K, N, D]
+    obs_feat = m.lm_obs_feat[lm]
+    obs_oct = m.kf_octave[jnp.clip(obs_kf, 0), obs_feat]  # [K, N, D]
+    own_oct = m.kf_octave[:, :, None]
+    k_ids = jnp.arange(K, dtype=jnp.int32)[:, None, None]
+    counted = ((obs_kf >= 0) & (obs_kf != k_ids)
+               & m.kf_valid[jnp.clip(obs_kf, 0)]
+               & (obs_oct <= own_oct + 1))
+    n_other = jnp.sum(counted, axis=2)              # [K, N]
+    redundant = has & (n_other >= 3)
+    n_has = jnp.sum(has, axis=1)
+    n_red = jnp.sum(redundant, axis=1)
+    cull = (m.kf_valid & (n_has > 0)
+            & (n_red.astype(jnp.float32) > 0.9 * n_has.astype(jnp.float32)))
+    cull = cull.at[0].set(False)
+    cull = cull & (jnp.arange(K) != cur_kf)
+    kf_valid = m.kf_valid & ~cull
+    m = m._replace(kf_valid=kf_valid)
+    from ..mapstate.map import rebuild_observations
+    return rebuild_observations(m)
+
+
 @partial(jax.jit, static_argnames=("block",), donate_argnums=0)
 def merge_duplicate_landmarks(m: MapState, cur_kf, block: int = 1024) -> MapState:
     """Sweep freshly created landmarks for duplicates of older ones and
@@ -855,4 +893,5 @@ def keyframe_step(m: MapState, cam, obs: FrameObs, R, t, frame_id,
         return local_bundle_adjustment(mm, cam, k)
 
     m = jax.lax.cond(has_neighbors, run_ba, lambda mm: mm, m)
+    m = cull_keyframes(m, k)
     return m
