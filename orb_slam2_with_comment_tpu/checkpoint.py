@@ -33,6 +33,7 @@ def load_map(path: str) -> MapState:
 def save_session(path: str, tracker) -> None:
     """Checkpoint map + tracker host state (resumable mid-sequence)."""
     from .pipeline.tracking import TrackState
+    tracker.flush()  # finalize the in-flight pipelined frame first
     arrays = {f"map_{f}": np.asarray(getattr(tracker.map, f))
               for f in tracker.map._fields}
     arrays["last_R"] = np.asarray(tracker.last_R)

@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import brief, fast, image, orientation
+from ..ops import patches as patch_ops
 
 
 class FrameFeatures(NamedTuple):
@@ -109,6 +110,7 @@ class OrbExtractor:
     def _extract(self, img: jax.Array) -> FrameFeatures:
         img = img.astype(jnp.float32)
         pyr = image.build_pyramid(img, self.n_levels, self.scale_factor)
+        kmat = orientation.moment_kernel_matrix()
         parts = []
         for lvl, (lvl_img, budget) in enumerate(zip(pyr, self.budgets)):
             if budget <= 0:
@@ -125,10 +127,38 @@ class OrbExtractor:
             score = jnp.where(inb, score, 0.0)
             yx, resp, valid = fast.select_keypoints(
                 score, budget, self.cell, self.per_cell, self.th_high, self.th_low)
-            sub = fast.subpixel_refine(score, yx)  # [n, 2] (dy, dx)
-            ang = orientation.angles_at_patches(lvl_img, yx)
-            blurred = image.gaussian_blur(lvl_img)
-            desc = brief.descriptors(blurred, yx, ang)
+            # ALL per-keypoint sampling (IC angle, subpixel parabola, BRIEF)
+            # comes from one batched patch extraction expressed as one-hot
+            # matmuls — TPU has no hardware gather, so per-keypoint
+            # indexing ops each cost ~1 ms regardless of size (ops.patches).
+            # Integer-rounded blurred image: the reference samples BRIEF
+            # from a uint8 blurred image (OpenCV GaussianBlur on CV_8U);
+            # integers <= 255 are also exact under bf16 matmuls, so the
+            # descriptor GEMM stays bit-exact at TPU default precision.
+            blurred = jnp.round(image.gaussian_blur(lvl_img))
+            maps = jnp.stack([lvl_img, blurred, score])
+            pat = patch_ops.extract_patches(maps, yx, brief.BRIEF_RADIUS)
+            # IC angle from the central 31x31 of the raw-image patch.
+            ic = brief.BRIEF_RADIUS - orientation.HALF_PATCH
+            raw31 = pat[:, 0, ic:ic + 31, ic:ic + 31]
+            mom = raw31.reshape(budget, -1) @ kmat
+            ang = jnp.arctan2(mom[:, 1], mom[:, 0])
+            desc = brief.descriptors_from_patches(
+                pat[:, 1].reshape(budget, -1), ang)
+            # Subpixel 1D parabola per axis on the score patch center
+            # (fast.subpixel_refine semantics, without the gathers).
+            hp = brief.BRIEF_RADIUS
+            sp = pat[:, 2]
+            c = sp[:, hp, hp]
+            up, dn = sp[:, hp - 1, hp], sp[:, hp + 1, hp]
+            lf, rt = sp[:, hp, hp - 1], sp[:, hp, hp + 1]
+            den_y = up - 2 * c + dn
+            den_x = lf - 2 * c + rt
+            sub_dy = jnp.clip(0.5 * (up - dn) / jnp.where(
+                jnp.abs(den_y) < 1e-6, 1e-6, den_y), -0.5, 0.5)
+            sub_dx = jnp.clip(0.5 * (lf - rt) / jnp.where(
+                jnp.abs(den_x) < 1e-6, 1e-6, den_x), -0.5, 0.5)
+            sub = jnp.stack([sub_dy, sub_dx], axis=-1)
             scale = self.scales[lvl]
             xy0 = jnp.stack(
                 [(yx[:, 1].astype(jnp.float32) + sub[:, 1]) * scale,

@@ -146,6 +146,22 @@ def retract(R, t, xi):
     return compose(dR, dt, R, t)
 
 
+def orthonormalize(R):
+    """One Newton step of the polar projection onto SO(3):
+    R <- R (3I - R^T R) / 2, squaring the orthonormality error.
+
+    Per-frame tracking composes velocity * inverse * pose chains whose
+    retractions PRESERVE any non-orthonormality while the composition
+    amplifies it ~2.4x per frame (exponential blow-up measured over ~15
+    frames in float32). One Newton step per frame drives the error to
+    roundoff. Must run at HIGHEST precision: TPU bf16 matmuls would
+    re-inject ~1e-3 error each application."""
+    hi = jax.lax.Precision.HIGHEST
+    rtr = jnp.matmul(jnp.swapaxes(R, -1, -2), R, precision=hi)
+    eye = jnp.eye(3, dtype=R.dtype)
+    return jnp.matmul(R, 1.5 * eye - 0.5 * rtr, precision=hi)
+
+
 def quat_to_matrix(q: jax.Array) -> jax.Array:
     """Unit quaternion [..., 4] (w, x, y, z) -> rotation matrix [..., 3, 3]."""
     q = q / jnp.linalg.norm(q, axis=-1, keepdims=True).clip(1e-12)

@@ -117,30 +117,38 @@ def covisibility_weights(m: MapState, kf_idx) -> jax.Array:
     Returns [K] int32 weights (self entry zeroed).
     """
     K = m.kf_R.shape[0]
-    # landmarks observed by kf_idx: mask over [L]
-    observes = jnp.any(
-        (m.lm_obs_kf == kf_idx) & (m.lm_obs_kf >= 0), axis=1
-    ) & m.lm_valid  # [L]
-    # scatter-count their other observers
-    obs_kf = m.lm_obs_kf  # [L, D]
-    contrib = (observes[:, None] & (obs_kf >= 0)).astype(jnp.int32)
-    w = jax.ops.segment_sum(
-        contrib.reshape(-1),
-        jnp.clip(obs_kf, 0, K - 1).reshape(-1) + K * 0,
-        num_segments=K,
-    )
-    w = w.at[kf_idx].set(0)
+    O = observation_matrix(m)  # [L, K]
+    onehot = (jnp.arange(K) == kf_idx).astype(O.dtype)
+    row = jnp.matmul(O, onehot, precision=jax.lax.Precision.HIGHEST)
+    w = jnp.matmul(row, O, precision=jax.lax.Precision.HIGHEST)
+    w = w.astype(jnp.int32)
+    w = jnp.where(jnp.arange(K) == kf_idx, 0, w)
     return w * m.kf_valid.astype(jnp.int32)
+
+
+def observation_matrix(m: MapState) -> jax.Array:
+    """[L, K] float32 incidence: landmark l observed by keyframe k.
+
+    The covisibility graph is then ONE matmul O^T O (the scatter-count
+    formulation cost ~1 ms per keyframe row on TPU)."""
+    K = m.kf_R.shape[0]
+    hit = jnp.any(
+        m.lm_obs_kf[:, :, None]
+        == jnp.arange(K, dtype=jnp.int32)[None, None, :], axis=1)
+    return (hit & m.lm_valid[:, None]).astype(jnp.float32)
 
 
 @jax.jit
 def covisibility_matrix(m: MapState) -> jax.Array:
-    """[K, K] covisibility weights in ONE device call (replaces per-row
-    covisibility_weights loops in loop detection / essential graph; each
-    eager row was a full tunnel round trip on remote-attached TPUs)."""
+    """[K, K] covisibility weights (shared valid landmarks) in ONE matmul
+    (reference: KeyFrame::UpdateConnections weight counting)."""
     K = m.kf_R.shape[0]
-    return jax.vmap(lambda k: covisibility_weights(m, k))(
-        jnp.arange(K, dtype=jnp.int32))
+    O = observation_matrix(m)
+    W = jnp.matmul(O.T, O, precision=jax.lax.Precision.HIGHEST)
+    W = W.astype(jnp.int32)
+    W = W * (1 - jnp.eye(K, dtype=jnp.int32))
+    kv = m.kf_valid.astype(jnp.int32)
+    return W * kv[:, None] * kv[None, :]
 
 
 def landmark_obs_count(m: MapState) -> jax.Array:
@@ -158,14 +166,10 @@ def add_observation(m: MapState, lm_idx, kf_idx, feat_idx, mask):
     n_used = jnp.sum((rows >= 0).astype(jnp.int32), axis=1)
     # Slots are append-only (free slots form a suffix), so intra-batch
     # duplicates of the same landmark get consecutive slots via their rank
-    # within the batch (stable sort + searchsorted).
-    B = lm_idx.shape[0]
-    key = jnp.where(mask, lm_idx, jnp.int32(2**30))
-    order = jnp.argsort(key)
-    sorted_key = key[order]
-    first = jnp.searchsorted(sorted_key, sorted_key, side="left")
-    rank_sorted = jnp.arange(B, dtype=jnp.int32) - first.astype(jnp.int32)
-    rank = jnp.zeros(B, jnp.int32).at[order].set(rank_sorted)
+    # within the batch (dense O(B^2) count — sort+searchsorted+scatter
+    # cost ~6 ms on TPU, the [B,B] comparison ~0.05 ms; ops.prims).
+    from ..ops.prims import rank_in_group
+    rank = rank_in_group(lm_idx, mask)
     slot = n_used + rank
     ok = mask & (slot < D)
     slot = jnp.clip(slot, 0, D - 1)
@@ -205,8 +209,9 @@ def rebuild_observations(m: MapState) -> MapState:
     slm = flat[order]
     skf = kf_ids[order]
     sft = feat_ids[order]
-    first = jnp.searchsorted(slm, slm, side="left")
-    rank = jnp.arange(K * N, dtype=jnp.int32) - first.astype(jnp.int32)
+    from ..ops.prims import run_first_sorted
+    first = run_first_sorted(slm)  # searchsorted(slm, slm) on sorted input
+    rank = jnp.arange(K * N, dtype=jnp.int32) - first
     # drop duplicate (lm, kf) pairs: keep the first feature per keyframe
     same_kf_as_prev = (slm == jnp.roll(slm, 1)) & (skf == jnp.roll(skf, 1))
     same_kf_as_prev = same_kf_as_prev.at[0].set(False)

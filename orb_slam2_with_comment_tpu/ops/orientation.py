@@ -56,6 +56,13 @@ def _moment_kernels() -> tuple[np.ndarray, np.ndarray]:
 _K10, _K01 = _moment_kernels()
 
 
+def moment_kernel_matrix() -> jax.Array:
+    """[P*P, 2] flat (m10, m01) weight matrix for patch-matmul IC angles:
+    angles = arctan2(patch_flat @ K [:, 1], patch_flat @ K [:, 0])."""
+    return jnp.stack([jnp.asarray(_K10).reshape(-1),
+                      jnp.asarray(_K01).reshape(-1)], axis=1)
+
+
 @jax.jit
 def orientation_maps(img: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Whole-image m10/m01 maps ([H, W] each)."""

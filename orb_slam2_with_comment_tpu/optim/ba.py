@@ -62,9 +62,38 @@ class BAResult(NamedTuple):
     obs_chi2: jax.Array  # [L, D] per-observation chi2 (for outlier culling)
 
 
+def _inv3x3(M: jax.Array) -> jax.Array:
+    """Closed-form batched 3x3 inverse (adjugate / det) — elementwise VPU
+    work instead of the batched-LU custom call."""
+    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+    A = e * i - f * h
+    B = c * h - b * i
+    C = b * f - c * e
+    Dd = f * g - d * i
+    E = a * i - c * g
+    F = c * d - a * f
+    G = d * h - e * g
+    H = b * g - a * h
+    Ii = a * e - b * d
+    det = a * A + b * Dd + c * G
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    adj = jnp.stack([
+        jnp.stack([A, B, C], axis=-1),
+        jnp.stack([Dd, E, F], axis=-1),
+        jnp.stack([G, H, Ii], axis=-1),
+    ], axis=-2)
+    return adj * inv_det[..., None, None]
+
+
 def _eval_chi2(cam, prob: BAProblem, R, t, X):
-    Rp = R[prob.obs_pose]
-    tp = t[prob.obs_pose]
+    hi = jax.lax.Precision.HIGHEST
+    P = R.shape[0]
+    G = (prob.obs_pose[:, :, None]
+         == jnp.arange(P, dtype=jnp.int32)[None, None, :]).astype(jnp.float32)
+    Rp = jnp.einsum("ldp,pij->ldij", G, R, precision=hi)
+    tp = jnp.einsum("ldp,pi->ldi", G, t, precision=hi)
     e, _, _ = reproj_residual(cam, Rp, tp, X[:, None, :], prob.obs_uvr)
     chi2 = jnp.sum(e * e, axis=-1) * prob.obs_w
     active = (prob.obs_w > 0) & prob.point_valid[:, None]
@@ -86,28 +115,37 @@ def ba_solve(
     delta_h = jnp.where(is_stereo, HUBER_STEREO, HUBER_MONO)
     active = (prob.obs_w > 0) & prob.point_valid[:, None]
     free_pose = ~prob.pose_fixed
+    hi = jax.lax.Precision.HIGHEST
+    # One-hot observation->pose assignment [L, D, P]: every gather/scatter
+    # over the pose axis becomes a matmul (TPU has no hardware gather; XLA
+    # scatter lowering serializes — both were the dominant cost here).
+    G = (prob.obs_pose[:, :, None]
+         == jnp.arange(P, dtype=jnp.int32)[None, None, :]).astype(jnp.float32)
+    eyeP = jnp.eye(P, dtype=jnp.float32)
 
     def iteration(carry, _):
         R, t, X, lam = carry
-        Rp = R[prob.obs_pose]  # [L, D, 3, 3]
-        tp = t[prob.obs_pose]
+        Rp = jnp.einsum("ldp,pij->ldij", G, R, precision=hi)  # [L,D,3,3]
+        tp = jnp.einsum("ldp,pi->ldi", G, t, precision=hi)
         e, Jp, Jl = reproj_jacobians(cam, Rp, tp, X[:, None, :], prob.obs_uvr)
         chi2_i = jnp.sum(e * e, axis=-1) * prob.obs_w
         w_rob = huber_weight(chi2_i, delta_h) if robust else jnp.ones_like(chi2_i)
         w = jnp.where(active, prob.obs_w * w_rob, 0.0)  # [L, D]
         # Zero pose-Jacobians of fixed poses (their twists never move).
-        Jp = Jp * free_pose[prob.obs_pose].astype(Jp.dtype)[..., None, None]
+        free_obs = jnp.einsum("ldp,p->ld", G, free_pose.astype(jnp.float32),
+                              precision=hi)
+        Jp = Jp * free_obs[..., None, None]
 
         # --- Hessian blocks ---
         wJp = w[..., None, None] * Jp  # weight folded once
-        Hll = jnp.einsum("ldri,ldrj->lij", w[..., None, None] * Jl, Jl)  # [L,3,3]
-        bl = jnp.einsum("ldri,ldr->li", w[..., None, None] * Jl, e)  # [L,3]
-        Y = jnp.einsum("ldri,ldrj->ldij", wJp, Jl)  # [L,D,6,3] = Hpl blocks
-        flat_pose = prob.obs_pose.reshape(-1)
-        Hpp_blocks = jnp.einsum("ldri,ldrj->ldij", wJp, Jp).reshape(-1, 6, 6)
-        Hpp = jax.ops.segment_sum(Hpp_blocks, flat_pose, num_segments=P)
-        bp_blocks = jnp.einsum("ldri,ldr->ldi", wJp, e).reshape(-1, 6)
-        bp = jax.ops.segment_sum(bp_blocks, flat_pose, num_segments=P)
+        Hll = jnp.einsum("ldri,ldrj->lij", w[..., None, None] * Jl, Jl,
+                         precision=hi)  # [L,3,3]
+        bl = jnp.einsum("ldri,ldr->li", w[..., None, None] * Jl, e,
+                        precision=hi)  # [L,3]
+        Y = jnp.einsum("ldri,ldrj->ldij", wJp, Jl, precision=hi)  # [L,D,6,3]
+        Hpp_blocks = jnp.einsum("ldri,ldrj->ldij", wJp, Jp, precision=hi)
+        Hpp = jnp.einsum("ldp,ldij->pij", G, Hpp_blocks, precision=hi)
+        bp = jnp.einsum("ldp,ldri,ldr->pi", G, wJp, e, precision=hi)
 
         # --- damping (multiplicative on the diagonal, floors for rank safety) ---
         def damp(Hblk, eps):
@@ -118,22 +156,21 @@ def ba_solve(
         # Invalid landmarks: identity block so the solve stays well-posed.
         eye3 = jnp.eye(3, dtype=Hll.dtype)
         Hll_d = jnp.where(prob.point_valid[:, None, None], Hll_d, eye3)
-        Hll_inv = jnp.linalg.inv(Hll_d)  # [L,3,3] batched
+        Hll_inv = _inv3x3(Hll_d)  # [L,3,3] closed-form batched inverse
 
         # --- Schur complement ---
-        # S[p,q] -= sum_l sum_{d,d'} Y[l,d] Hll_inv[l] Y[l,d']^T
-        YHinv = jnp.einsum("ldij,ljk->ldik", Y, Hll_inv)  # [L,D,6,3]
-        pair_blocks = jnp.einsum("ldik,lcjk->ldcij", YHinv, Y)  # [L,D,D,6,6]
-        pair_idx = (prob.obs_pose[:, :, None] * P + prob.obs_pose[:, None, :]).reshape(-1)
-        S_off = jax.ops.segment_sum(
-            pair_blocks.reshape(-1, 6, 6), pair_idx, num_segments=P * P
-        ).reshape(P, P, 6, 6)
+        # S[p,q] -= sum_l sum_{d,d'} Y[l,d] Hll_inv[l] Y[l,d']^T. The pair
+        # sum FACTORIZES through the one-hot G: with A[l,p] = sum_d
+        # G[l,d,p] YHinv[l,d] and B[l,q] = sum_c G[l,c,q] Y[l,c],
+        # S_off = sum_l A[l,p] B[l,q]^T — three GEMMs instead of a
+        # [L*D*D] block scatter.
+        YHinv = jnp.einsum("ldij,ljk->ldik", Y, Hll_inv, precision=hi)
+        A = jnp.einsum("ldp,ldik->lpik", G, YHinv, precision=hi)  # [L,P,6,3]
+        B = jnp.einsum("ldp,ldjk->lpjk", G, Y, precision=hi)      # [L,P,6,3]
+        S_off = jnp.einsum("lpik,lqjk->pqij", A, B, precision=hi)
         Hpp_d = damp(Hpp, 1e-6)
-        S = -S_off
-        S = S.at[jnp.arange(P), jnp.arange(P)].add(Hpp_d)
-        b_corr = jax.ops.segment_sum(
-            jnp.einsum("ldik,lk->ldi", YHinv, bl).reshape(-1, 6), flat_pose, num_segments=P
-        )
+        S = -S_off + jnp.einsum("pq,pij->pqij", eyeP, Hpp_d, precision=hi)
+        b_corr = jnp.einsum("ldp,ldik,lk->pi", G, YHinv, bl, precision=hi)
         b_s = bp - b_corr
 
         # Fixed poses: identity row/col, zero rhs.
@@ -141,9 +178,9 @@ def ba_solve(
         eye6 = jnp.eye(6, dtype=S.dtype)
         keep = (free_pose[:, None] & free_pose[None, :]).astype(S.dtype)[..., None, None]
         S = S * keep
-        S = S.at[jnp.arange(P), jnp.arange(P)].set(
-            jnp.where(fixed[:, None, None], eye6, S[jnp.arange(P), jnp.arange(P)])
-        )
+        S = S + jnp.einsum("pq,pij->pqij", eyeP,
+                           jnp.where(fixed[:, None, None], eye6,
+                                     jnp.zeros_like(eye6)), precision=hi)
         b_s = jnp.where(fixed[:, None], 0.0, b_s)
 
         # --- dense reduced solve (MXU) ---
@@ -152,8 +189,9 @@ def ba_solve(
 
         # --- back-substitute landmarks ---
         # Hll dXl = -(bl + sum_d Y^T dxi_pose)
-        Yt_dxi = jnp.einsum("ldij,ldi->lj", Y, dxi[prob.obs_pose])
-        dX = -jnp.einsum("lij,lj->li", Hll_inv, bl + Yt_dxi)
+        dxi_obs = jnp.einsum("ldp,pi->ldi", G, dxi, precision=hi)
+        Yt_dxi = jnp.einsum("ldij,ldi->lj", Y, dxi_obs, precision=hi)
+        dX = -jnp.einsum("lij,lj->li", Hll_inv, bl + Yt_dxi, precision=hi)
         dX = jnp.where(prob.point_valid[:, None], dX, 0.0)
 
         # --- candidate + accept/reject ---
@@ -172,5 +210,6 @@ def ba_solve(
     (R, t, X, _), chi2_hist = jax.lax.scan(
         iteration, (prob.R, prob.t, prob.X, jnp.float32(init_lambda)), None, length=iters
     )
+    R = se3.orthonormalize(R)  # keyframe poses re-enter tracking chains
     obs_chi2 = _eval_chi2(cam, prob, R, t, X)
     return BAResult(R, t, X, jnp.sum(obs_chi2), obs_chi2)

@@ -128,4 +128,7 @@ def optimize_pose(
     inlier = inlier & valid
     chi2_i = _per_obs_chi2(cam, R, t, Xw, obs_uvr, inv_sigma2)
     total = jnp.sum(jnp.where(inlier, chi2_i, 0.0))
+    # Re-project onto SO(3): tracking chains this pose through velocity
+    # compositions that amplify non-orthonormality (se3.orthonormalize).
+    R = se3.orthonormalize(R)
     return PoseOptResult(R, t, inlier, jnp.sum(inlier.astype(jnp.int32)), total)

@@ -43,6 +43,16 @@ class LoopCloser:
         self.prev_groups: list[tuple[set[int], int]] = []
         self.key = jax.random.PRNGKey(7)
         self.n_loops_closed = 0
+        # ONE device program for the whole detection pass (covisibility
+        # matrix + BoW scores); separate eager calls each paid a tunnel
+        # round trip (~23 ms) per keyframe
+        from ..place import vocabulary as V
+
+        def _detect_dev(m: MapState, bow, kf):
+            s = jnp.where(m.kf_valid, V.score_l1(bow[kf], bow), -1.0)
+            return covisibility_matrix(m), s
+
+        self._detect_dev = jax.jit(_detect_dev)
 
     # -- detection ------------------------------------------------------
     def _covis_group(self, m: MapState, kf: int) -> set[int]:
@@ -56,13 +66,14 @@ class LoopCloser:
             return None
         # one batched covisibility matrix + one score sweep for the whole
         # detection pass (was one device round trip per keyframe row)
-        W = np.asarray(covisibility_matrix(m))
+        W_dev, s_dev = self._detect_dev(m, self.db.bow, jnp.int32(kf))
+        W = np.asarray(W_dev)
+        s_all = np.asarray(s_dev)
         covis = np.where(W[kf] > 0)[0]
-        s_all = np.asarray(self.db.scores(self.db.bow[kf], m.kf_valid))
         min_score = float(min([s_all[int(j)] for j in covis], default=0.5))
         min_score = max(min_score, 0.0)
         candidates = self.db.detect_loop_candidates(m, kf, min_score,
-                                                    covis=W)
+                                                    covis=W, scores=s_all)
         if not candidates:
             self.prev_groups = []
             return None
@@ -179,7 +190,7 @@ class LoopCloser:
         K = m.kf_R.shape[0]
         # edges: covisibility pairs with weight >= 15 + the loop edge; all
         # measured from current (post-propagation) relative poses
-        W = np.asarray(covisibility_matrix(m))
+        W = np.array(covisibility_matrix(m))  # writable copy
         W[~np.asarray(m.kf_valid)] = 0
         pairs = [(i, j) for i in range(K) for j in range(i + 1, K)
                  if W[i, j] >= 15]

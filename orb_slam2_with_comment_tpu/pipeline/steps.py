@@ -17,6 +17,7 @@ import jax.numpy as jnp
 
 from ..geometry import se3
 from ..mapstate.map import MapState, add_observation, landmark_obs_count
+from ..ops import prims
 from ..matching import search as msearch
 from ..matching.search import FeatureSet, LandmarkSet
 from ..optim import ba, pose_opt
@@ -109,7 +110,7 @@ def create_depth_landmarks(m: MapState, cam: CamParams, kf, th_depth) -> MapStat
     is_close = depth_ok & (depth < th_depth)
     rank = jnp.argsort(jnp.argsort(jnp.where(depth_ok, depth, 1e9)))
     create = jnp.where(jnp.sum(is_close) >= 100, is_close, depth_ok & (rank < 100))
-    slot_off = jnp.cumsum(create.astype(jnp.int32)) - 1
+    slot_off = prims.cumsum_tri(create.astype(jnp.int32)) - 1
     L = m.lm_pw.shape[0]
     slots = m.n_lm + slot_off
     create &= slots < L
@@ -153,7 +154,7 @@ def _insert_landmark_rows(m: MapState, pw, desc, normal, dmin, dmax,
     """Append landmark rows (masked) into the first free slots; returns
     (map, slots, still_ok) where slots[i] is the slot for row i."""
     L = m.lm_pw.shape[0]
-    slot_off = jnp.cumsum(create.astype(jnp.int32)) - 1
+    slot_off = prims.cumsum_tri(create.astype(jnp.int32)) - 1
     slots = m.n_lm + slot_off
     create &= slots < L
     safe = jnp.where(create, slots, L - 1)
@@ -356,7 +357,7 @@ def keyframe_step_mono(m: MapState, cam, obs: FrameObs, R, t, frame_id,
     k = m.n_kf
     m = insert_keyframe(m, cam, obs, R, t, frame_id)
     w = covisibility_weights(m, k)
-    top_w, top_i = jax.lax.top_k(w, 5)
+    top_w, top_i = prims.sort_top_k(w, 5)
     neighbors = jnp.where(top_w > 0, top_i.astype(jnp.int32), -1)
     m = fuse_neighbors(m, cam, k, neighbors, width, height, into=True)
     m = triangulate_with_neighbors(m, cam, k, neighbors)
@@ -879,7 +880,7 @@ def keyframe_step(m: MapState, cam, obs: FrameObs, R, t, frame_id,
     k = m.n_kf
     m = insert_keyframe(m, cam, obs, R, t, frame_id)
     w = covisibility_weights(m, k)
-    top_w, top_i = jax.lax.top_k(w, 5)
+    top_w, top_i = prims.sort_top_k(w, 5)
     neighbors = jnp.where(top_w > 0, top_i.astype(jnp.int32), -1)
     m = fuse_neighbors(m, cam, k, neighbors, width, height, into=True)
     m = create_depth_landmarks(m, cam, k, th_depth)

@@ -120,6 +120,12 @@ class Tracker:
         # corrections (loop closure / GBA), System.cc:336-394 semantics.
         self.rel_log: list[tuple[int, float, int, object, object]] = []
         self._timestamp = 0.0
+        # pipelined tracking: in-flight frames whose stats readbacks are
+        # deferred PIPELINE_DEPTH frames — depth 1 only hides host work,
+        # depth 2 gives each step a full frame-time of device occupancy
+        # before its stats are awaited (tunnel RTT ~23 ms + step ~13 ms)
+        self._pending: list = []
+        self.pipeline_depth = 2
 
     # -- helpers ---------------------------------------------------------
     def _frame_obs(self, img, depth_map):
@@ -178,9 +184,14 @@ class Tracker:
     def process_rgbd(self, img, depth_map, frame_id=None):
         """Track one RGB-D frame; returns (R, t) world->camera or None.
 
-        Steady-state tracking is ONE fused device call + one small stats
-        readback (see steps.build_track_frame_step); keyframe frames add
-        the insertion/local-mapping calls.
+        Steady-state tracking is ONE fused device call with the stats
+        readback DEFERRED by one frame (software pipelining): the tunnel's
+        device->host round trip (~23 ms measured on a remote-attached TPU)
+        overlaps the next frame's device compute instead of serializing
+        with it. The lost/keyframe decision for frame k is therefore taken
+        while frame k+1 runs — the same one-frame lag the reference's
+        asynchronous LocalMapping thread has (keyframes take effect only
+        when the mapping thread drains its queue, LocalMapping.cc:47-128).
         """
         if frame_id is None:
             frame_id = self.frame_count
@@ -191,17 +202,64 @@ class Tracker:
             ok = self._initialize(obs, frame_id)
             return (self.last_R, self.last_t) if ok else None
 
+        if self.state == TrackState.LOST:
+            obs = self._frame_obs(img, depth_map)
+            if self.db is not None and self._relocalize(obs, frame_id):
+                return self.last_R, self.last_t
+            return None
+
         cfg = self.cfg
-        have_vel = self.velocity is not None
-        vel_R, vel_t = self.velocity if have_vel else (jnp.eye(3), jnp.zeros(3))
+        if self._pending:
+            # chain device-side on the newest in-flight frame; its pose and
+            # its predecessor's pose give the velocity (no sync needed)
+            p, _ = self._pending[-1]
+            if len(self._pending) >= 2:
+                q, _ = self._pending[-2]
+                base_R, base_t = q.R, q.t
+            else:
+                base_R, base_t = self.last_R, self.last_t
+            prev_obs = steps.FrameObs(p.feats, p.depth, p.lm)
+            prev_R, prev_t = p.R, p.t
+            vel_R, vel_t = se3.compose(
+                p.R, p.t, *se3.inverse(base_R, base_t))
+            have_vel = True
+        else:
+            prev_obs = self.last_obs
+            prev_R, prev_t = self.last_R, self.last_t
+            have_vel = self.velocity is not None
+            vel_R, vel_t = (self.velocity if have_vel
+                            else (jnp.eye(3), jnp.zeros(3)))
         min_obs = 2 if self.n_kf_host > 2 else 1
         res = self._step(
-            cfg.cam, self.map, self.last_obs, self.last_R, self.last_t,
+            cfg.cam, self.map, prev_obs, prev_R, prev_t,
             vel_R, vel_t, have_vel, jnp.int32(self.ref_kf),
             jnp.asarray(img, jnp.float32), jnp.asarray(depth_map, jnp.float32),
             jnp.float32(cfg.depth_threshold), jnp.int32(cfg.desc_th),
             jnp.int32(cfg.desc_th_local), jnp.int32(min_obs))
         self.map = res.map
+        try:
+            # start the device->host stats transfer now: it completes in the
+            # background the moment the step finishes on device, so next
+            # frame's _finalize pays ~0 instead of a full tunnel round trip
+            res.stats.copy_to_host_async()
+        except Exception:
+            pass  # backends without async host copies: finalize just blocks
+        self._pending.append((res, frame_id))
+        while len(self._pending) > self.pipeline_depth:
+            oldest = self._pending.pop(0)
+            if not self._finalize(*oldest):
+                # That frame was LOST; every newer in-flight step chained on
+                # its bad pose — discard them (the reference likewise drops
+                # frames until relocalization succeeds, Tracking.cc:528).
+                self._pending.clear()
+                return None
+        return res.R, res.t
+
+    def _finalize(self, res, frame_id) -> bool:
+        """Deferred per-frame epilogue: read the stats vector (the only
+        device->host sync), run the lost/keyframe state machine for the
+        frame, and update host tracking state. Returns False when the
+        frame turned out LOST (its successor must be discarded)."""
         stats = np.asarray(res.stats)
         mm_in, used_mm, track1_in, local_in, ref_matches, close_pack = (
             int(x) for x in stats)
@@ -210,9 +268,8 @@ class Tracker:
             self.velocity = None
             if self.db is not None:
                 obs = steps.FrameObs(res.feats, res.depth, res.lm)
-                if self._relocalize(obs, frame_id):
-                    return self.last_R, self.last_t
-            return None
+                self._relocalize(obs, frame_id)
+            return False
         self.state = TrackState.OK
         R, t = res.R, res.t
         self._n_inliers = local_in
@@ -225,9 +282,19 @@ class Tracker:
         tracked_close, non_tracked_close = close_pack // 10000, close_pack % 10000
         if (not self.localization_only
                 and self._need_new_keyframe_stats(
-                    local_in, ref_matches, tracked_close, non_tracked_close)):
+                    local_in, ref_matches, tracked_close, non_tracked_close,
+                    frame_id)):
             self._create_keyframe(obs, R, t, frame_id)
-        return R, t
+        return True
+
+    def flush(self):
+        """Finalize the in-flight frame (pipelined RGB-D tracking defers
+        each frame's decision by one frame). Call before reading
+        trajectories, state, or the map at a sequence boundary."""
+        while self._pending:
+            res, fid = self._pending.pop(0)
+            if not self._finalize(res, fid):
+                self._pending.clear()
 
     def process_mono(self, img, frame_id=None):
         """Track one monocular frame; returns (R, t) or None (reference:
@@ -352,11 +419,14 @@ class Tracker:
         return R, t
 
     def _need_new_keyframe_stats(self, n_in, ref_matches,
-                                 tracked_close, non_tracked_close) -> bool:
+                                 tracked_close, non_tracked_close,
+                                 frame_id=None) -> bool:
         """NeedNewKeyFrame (reference: Tracking.cc:1140-1244) from the fused
         step's statistics vector — no extra device readbacks."""
         cfg = self.cfg
-        frames_since = self.frame_count - 1 - self.last_kf_frame
+        if frame_id is None:
+            frame_id = self.frame_count - 1
+        frames_since = frame_id - self.last_kf_frame
         need_close = tracked_close < 100 and non_tracked_close > 70
         th_ref = 0.4 if self.n_kf_host < 2 else 0.75
         c1a = frames_since >= cfg.fps
@@ -555,6 +625,7 @@ class Tracker:
 
     # -- export ----------------------------------------------------------
     def trajectory_arrays(self):
+        self.flush()
         ids = np.array([f for f, _, _ in self.trajectory])
         Rs = np.stack([np.asarray(R) for _, R, _ in self.trajectory])
         ts = np.stack([np.asarray(t) for _, _, t in self.trajectory])

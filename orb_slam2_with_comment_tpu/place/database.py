@@ -55,14 +55,16 @@ class KeyFrameDatabase:
 
     def detect_loop_candidates(self, m: MapState, kf: int, min_score: float,
                                max_candidates: int = 5,
-                               covis: np.ndarray | None = None) -> list[int]:
+                               covis: np.ndarray | None = None,
+                               scores: np.ndarray | None = None) -> list[int]:
         """Reference gating (KeyFrameDatabase.cc:76-197) over dense scores.
 
-        covis: optional precomputed [K, K] covisibility matrix (numpy) to
-        avoid a second device round trip."""
+        covis/scores: optional precomputed covisibility matrix / score
+        vector (numpy) to avoid extra device round trips."""
         if covis is None:
             covis = np.asarray(covisibility_matrix(m))
-        s = np.array(self.scores(self.bow[kf], m.kf_valid))  # writable copy
+        s = (np.array(scores) if scores is not None
+             else np.array(self.scores(self.bow[kf], m.kf_valid)))
         s[kf] = -1
         s[covis[kf] > 0] = -1
         s[~np.asarray(m.kf_valid)] = -1

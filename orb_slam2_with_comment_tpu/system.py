@@ -118,8 +118,9 @@ class System:
 
     def shutdown(self):
         """Reference: System::Shutdown (System.cc:315-334) joins the three
-        threads; the functional pipeline has nothing to join — the flag
-        only guards against further tracking calls."""
+        threads; the functional pipeline has nothing to join — only the
+        in-flight pipelined frame must be finalized."""
+        self.tracker.flush()
         self._shutdown = True
 
     # -- state inspection (reference: System.h:137-146) ------------------
@@ -133,6 +134,7 @@ class System:
     def _chain_poses(self, keyframes_only: bool = False):
         """Resolve the relative-pose chain to absolute Tcw per frame."""
         tr = self.tracker
+        tr.flush()
         m = tr.map
         kf_R = np.asarray(m.kf_R)
         kf_t = np.asarray(m.kf_t)
