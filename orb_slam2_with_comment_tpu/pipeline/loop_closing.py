@@ -74,23 +74,7 @@ class LoopCloser:
         min_score = max(min_score, 0.0)
         candidates = self.db.detect_loop_candidates(m, kf, min_score,
                                                     covis=W, scores=s_all)
-        if not candidates:
-            self.prev_groups = []
-            return None
-        # covisibility-consistency over consecutive keyframes (ref :164-244)
-        new_groups: list[tuple[set[int], int]] = []
-        enough: list[int] = []
-        for c in candidates:
-            group = {int(j) for j in np.where(W[c] > 0)[0]} | {c}
-            count = 0
-            for prev_set, prev_count in self.prev_groups:
-                if group & prev_set:
-                    count = max(count, prev_count + 1)
-            new_groups.append((group, count))
-            if count + 1 >= self.consistency_th:
-                enough.append(c)
-        self.prev_groups = new_groups
-        return enough[0] if enough else None
+        return self._consistency(W, candidates)
 
     # -- Sim3 -----------------------------------------------------------
     def compute_sim3(self, m: MapState, kf: int, cand: int):
@@ -250,3 +234,65 @@ class LoopCloser:
         if S12 is None:
             return m
         return self.correct(m, kf, cand, S12)
+
+    # -- split entry: device submit now, host gating later ---------------
+    def begin(self, m: MapState, kf: int):
+        """Submit the detection device program and start the async
+        device->host copy; returns an opaque handle for finish().
+
+        Forcing detection results synchronously at keyframe insertion
+        stalled the host on the whole device queue (keyframe maintenance
+        ~100 ms was just enqueued); the reference's LoopClosing thread is
+        likewise asynchronous to Tracking (LoopClosing.cc:57-90)."""
+        if kf - self.last_loop_kf < self.min_gap:
+            self.prev_groups = []
+            return None
+        W_dev, s_dev = self._detect_dev(m, self.db.bow, jnp.int32(kf))
+        try:
+            W_dev.copy_to_host_async()
+            s_dev.copy_to_host_async()
+        except Exception:
+            pass
+        return (kf, W_dev, s_dev)
+
+    def finish(self, m: MapState, handle) -> MapState | None:
+        """Complete a begin(): host-side gating + consistency; on a
+        confirmed candidate runs Sim3 + correction. Returns the corrected
+        map, or None when no loop closed."""
+        if handle is None:
+            return None
+        kf, W_dev, s_dev = handle
+        W = np.asarray(W_dev)
+        s_all = np.asarray(s_dev)
+        covis = np.where(W[kf] > 0)[0]
+        min_score = max(float(min([s_all[int(j)] for j in covis],
+                                  default=0.5)), 0.0)
+        candidates = self.db.detect_loop_candidates(
+            m, kf, min_score, covis=W, scores=s_all)
+        cand = self._consistency(W, candidates)
+        if cand is None:
+            return None
+        S12 = self.compute_sim3(m, kf, cand)
+        if S12 is None:
+            return None
+        return self.correct(m, kf, cand, S12)
+
+    def _consistency(self, W: np.ndarray, candidates: list[int]) -> int | None:
+        """Covisibility-consistency over consecutive keyframes
+        (reference: LoopClosing.cc:164-244, mnCovisibilityConsistencyTh=3)."""
+        if not candidates:
+            self.prev_groups = []
+            return None
+        new_groups: list[tuple[set[int], int]] = []
+        enough: list[int] = []
+        for c in candidates:
+            group = {int(j) for j in np.where(W[c] > 0)[0]} | {c}
+            count = 0
+            for prev_set, prev_count in self.prev_groups:
+                if group & prev_set:
+                    count = max(count, prev_count + 1)
+            new_groups.append((group, count))
+            if count + 1 >= self.consistency_th:
+                enough.append(c)
+        self.prev_groups = new_groups
+        return enough[0] if enough else None

@@ -782,18 +782,25 @@ def build_track_frame_step(extractor, width: int, height: int):
              th_depth, desc_th, desc_th_local, min_obs) -> FrameStepResult:
         feats_raw = extractor._extract(img)
         xy = feats_raw.xy
-        # depth sampling + occlusion-boundary gate (see Tracker._frame_obs)
+        # depth sampling + occlusion-boundary gate (see Tracker._frame_obs):
+        # dense 3x3 min/max maps via 8 shifted elementwise ops, then ONE
+        # one-hot-matmul point sampling (was 9 gather ops ~1 ms each)
         yi = jnp.clip(jnp.round(xy[:, 1]).astype(jnp.int32), 0, height - 1)
         xi = jnp.clip(jnp.round(xy[:, 0]).astype(jnp.int32), 0, width - 1)
-        d = depth_map[yi, xi]
-        dmin = d
-        dmax = d
+        dmin_map = depth_map
+        dmax_map = depth_map
         for dy in (-1, 0, 1):
             for dx in (-1, 0, 1):
-                dn = depth_map[jnp.clip(yi + dy, 0, height - 1),
-                               jnp.clip(xi + dx, 0, width - 1)]
-                dmin = jnp.minimum(dmin, dn)
-                dmax = jnp.maximum(dmax, dn)
+                if dy == 0 and dx == 0:
+                    continue
+                sh = jnp.roll(depth_map, (dy, dx), axis=(0, 1))
+                dmin_map = jnp.minimum(dmin_map, sh)
+                dmax_map = jnp.maximum(dmax_map, sh)
+        from ..ops.patches import sample_maps
+        sampled = sample_maps(
+            jnp.stack([depth_map, dmin_map, dmax_map]),
+            jnp.stack([yi, xi], axis=-1))
+        d, dmin, dmax = sampled[:, 0], sampled[:, 1], sampled[:, 2]
         edge = (dmin <= 0) | ((dmax - dmin) > 0.04 * jnp.clip(d, 1e-6, None))
         d = jnp.where((d > 0) & ~edge, d, -1.0)
         ur = jnp.where(d > 0, xy[:, 0] - cam.bf / jnp.clip(d, 1e-6, None), -1.0)
@@ -828,12 +835,17 @@ def build_track_frame_step(extractor, width: int, height: int):
                                   local_mask, jnp.float32(3.0), width, height,
                                   desc_th_local)
         # keyframe-decision statistics (reference: Tracking.cc:1140-1244)
+        from ..ops.patches import take_rows
         ref_lm = m.kf_lm[ref_kf]
         has_ref = (ref_lm >= 0) & m.kf_feat_valid[ref_kf]
-        nobs = jnp.sum((m.lm_obs_kf[jnp.clip(ref_lm, 0)] >= 0), axis=1)
+        lm_table = jnp.stack(
+            [jnp.sum((m.lm_obs_kf >= 0), axis=1).astype(jnp.float32),
+             m.lm_valid.astype(jnp.float32)], axis=1)  # [L, 2]
+        picked = take_rows(lm_table, jnp.clip(ref_lm, 0))
+        nobs = picked[:, 0].astype(jnp.int32)
         ref_matches = jnp.sum(
             (has_ref & (nobs >= min_obs)
-             & m.lm_valid[jnp.clip(ref_lm, 0)]).astype(jnp.int32))
+             & (picked[:, 1] > 0)).astype(jnp.int32))
         close = (d > 0) & (d < th_depth)
         tracked_close = jnp.sum((close & (res2.lm >= 0)).astype(jnp.int32))
         non_tracked_close = jnp.sum((close & (res2.lm < 0)).astype(jnp.int32))

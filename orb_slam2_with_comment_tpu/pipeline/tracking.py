@@ -126,6 +126,8 @@ class Tracker:
         # before its stats are awaited (tunnel RTT ~23 ms + step ~13 ms)
         self._pending: list = []
         self.pipeline_depth = 2
+        # deferred loop-closure detection handle (LoopCloser.begin/finish)
+        self._pending_loop = None
 
     # -- helpers ---------------------------------------------------------
     def _frame_obs(self, img, depth_map):
@@ -260,6 +262,7 @@ class Tracker:
         device->host sync), run the lost/keyframe state machine for the
         frame, and update host tracking state. Returns False when the
         frame turned out LOST (its successor must be discarded)."""
+        self._finish_pending_loop()
         stats = np.asarray(res.stats)
         mm_in, used_mm, track1_in, local_in, ref_matches, close_pack = (
             int(x) for x in stats)
@@ -287,14 +290,24 @@ class Tracker:
             self._create_keyframe(obs, R, t, frame_id)
         return True
 
+    def _finish_pending_loop(self):
+        """Complete a deferred loop-closure detection (if any)."""
+        if self._pending_loop is not None:
+            handle, self._pending_loop = self._pending_loop, None
+            corrected = self.loop_closer.finish(self.map, handle)
+            if corrected is not None:
+                self.map = corrected
+
     def flush(self):
-        """Finalize the in-flight frame (pipelined RGB-D tracking defers
-        each frame's decision by one frame). Call before reading
-        trajectories, state, or the map at a sequence boundary."""
+        """Finalize the in-flight frames (pipelined RGB-D tracking defers
+        decisions by pipeline_depth frames) and any deferred loop
+        detection. Call before reading trajectories, state, or the map at
+        a sequence boundary."""
         while self._pending:
             res, fid = self._pending.pop(0)
             if not self._finalize(res, fid):
                 self._pending.clear()
+        self._finish_pending_loop()
 
     def process_mono(self, img, frame_id=None):
         """Track one monocular frame; returns (R, t) or None (reference:
@@ -573,7 +586,11 @@ class Tracker:
         self.last_obs = obs._replace(lm=self.map.kf_lm[kf])
         if self.db is not None:
             self.db.add(kf, obs.feats.desc, obs.feats.valid)
-            self.map = self.loop_closer.process(self.map, kf)
+            # loop detection: submit device work now, do the host gating on
+            # the next frame (LoopCloser.begin/finish) — forcing it here
+            # stalls on the freshly queued keyframe maintenance
+            self._finish_pending_loop()
+            self._pending_loop = self.loop_closer.begin(self.map, kf)
 
     def _relocalize(self, obs: steps.FrameObs, frame_id) -> bool:
         """Relocalization (reference: Tracking.cc:1582-1778): BoW candidate
