@@ -9,9 +9,15 @@ Baseline: the reference's published real-time rate of ~30 fps on an i7 CPU
 Measurement protocol: pass 1 over the sequence builds the map and triggers
 every one-time XLA compile (the counterpart of the reference's 10-20 s
 vocabulary load + first-run warmup, which its timing tables also exclude);
-pass 2 re-tracks the same trajectory against the built map and is timed.
+then THREE timed passes re-track the same trajectory against the built map
+and the reported rate is the MEDIAN pass (the TPU is reached through a
+shared network tunnel whose bandwidth/latency fluctuates run to run; the
+median de-noises that interference without hiding steady-state cost).
 Host->device frame uploads are pipelined on a background thread
-(runtime.AsyncUploader) exactly as a production driver would.
+(runtime.AsyncUploader) and carry raw uint8 pixels + uint16 depth
+(converted to float meters on device via TrackerConfig.depth_factor,
+the reference's DepthMapFactor semantics) exactly as a production
+driver would.
 
 Prints ONE JSON line:
   {"metric": "tracking_fps", "value": N, "unit": "frames/s", "vs_baseline": N/30}
@@ -60,21 +66,27 @@ def main():
         min_init_features=200,
         map_cfg=MapConfig(k_max=24, n_feat=1000, l_max=8000, d_max=8),
         fps=30,
+        depth_factor=1.0 / 5000.0,  # uint16 "sensor counts" -> meters
     )
-    # Pre-render all frames (dataset IO is not part of the measured loop).
-    frames = [world.render(R, t) for R, t in poses]
+    # Pre-render all frames (dataset IO is not part of the measured loop)
+    # in wire format: uint8 pixels, uint16 depth (TUM-style 5000/m).
+    frames = [(np.clip(img, 0, 255).astype(np.uint8),
+               np.clip(depth * 5000.0, 0, 65535).astype(np.uint16))
+              for img, depth in (world.render(R, t) for R, t in poses)]
 
     tracker = Tracker(cfg)
     uploader = AsyncUploader()
     # Pass 1: build the map; compiles every program (warmup).
     run_pass(tracker, frames, uploader, 0)
 
-    # Pass 2 (measured): steady-state tracking over the same orbit.
-    t0 = time.perf_counter()
-    n_ok = run_pass(tracker, frames, uploader, n_frames)
-    dt = time.perf_counter() - t0
-
-    fps = n_ok / dt
+    # Timed passes: steady-state tracking over the same orbit.
+    rates = []
+    for p in range(1, 4):
+        t0 = time.perf_counter()
+        n_ok = run_pass(tracker, frames, uploader, p * n_frames)
+        dt = time.perf_counter() - t0
+        rates.append(n_ok / dt)
+    fps = sorted(rates)[1]
     print(json.dumps({
         "metric": "tracking_fps",
         "value": round(fps, 2),

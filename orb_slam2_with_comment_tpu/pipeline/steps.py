@@ -758,6 +758,14 @@ class FrameStepResult(NamedTuple):
     stats: jax.Array  # int32 [6]: [mm_inliers, used_mm, track1_inliers,
     #                               local_inliers, ref_matches,
     #                               tracked_close*10000 + non_tracked_close]
+    # derived poses computed in-step so the host epilogue does zero device
+    # dispatches: velocity T_cur * T_prev^-1 (motion model for the next
+    # frame) and T_cur * T_ref^-1 (relative-pose trajectory log,
+    # reference: mlRelativeFramePoses Tracking.cc:562-579)
+    vel_R: jax.Array
+    vel_t: jax.Array
+    Rcr: jax.Array
+    tcr: jax.Array
 
 
 def build_track_frame_step(extractor, width: int, height: int):
@@ -779,7 +787,12 @@ def build_track_frame_step(extractor, width: int, height: int):
              static_argnames=("have_vel",))
     def step(cam, m: MapState, prev: FrameObs, last_R, last_t,
              vel_R, vel_t, have_vel: bool, ref_kf, img, depth_map,
-             th_depth, desc_th, desc_th_local, min_obs) -> FrameStepResult:
+             depth_factor, th_depth, desc_th, desc_th_local,
+             min_obs) -> FrameStepResult:
+        # raw depth (e.g. uint16 millimeters) -> float32 meters on device
+        # (reference: DepthMapFactor convertTo, Tracking.cc:144-148) —
+        # uploading raw integers keeps the per-frame tunnel transfer small
+        depth_map = depth_map.astype(jnp.float32) * depth_factor
         feats_raw = extractor._extract(img)
         xy = feats_raw.xy
         # depth sampling + occlusion-boundary gate (see Tracker._frame_obs):
@@ -854,7 +867,11 @@ def build_track_frame_step(extractor, width: int, height: int):
             res.n_inliers, res2.n_inliers, ref_matches,
             tracked_close * 10000 + non_tracked_close,
         ]).astype(jnp.int32)
-        return FrameStepResult(m, res2.R, res2.t, res2.lm, feats, d, stats)
+        new_vel = se3.compose(res2.R, res2.t, *se3.inverse(last_R, last_t))
+        rel = se3.compose(res2.R, res2.t,
+                          *se3.inverse(m.kf_R[ref_kf], m.kf_t[ref_kf]))
+        return FrameStepResult(m, res2.R, res2.t, res2.lm, feats, d, stats,
+                               new_vel[0], new_vel[1], rel[0], rel[1])
 
     return step
 

@@ -13,6 +13,7 @@ Thresholds follow SURVEY.md §2.6 "Tracking decisions".
 """
 from __future__ import annotations
 
+import concurrent.futures
 import enum
 from dataclasses import dataclass, field
 
@@ -26,6 +27,12 @@ from ..mapstate.map import MapConfig, MapState, empty_map
 from ..matching.search import FeatureSet
 from ..optim.residuals import CamParams
 from . import steps
+
+
+@jax.jit
+def _rel_to_kf(R, t, kf_R, kf_t, ref_kf):
+    """Tcr = Tcw * Twr(ref) as one dispatch (trajectory relative chain)."""
+    return se3.compose(R, t, *se3.inverse(kf_R[ref_kf], kf_t[ref_kf]))
 
 
 class TrackState(enum.Enum):
@@ -64,6 +71,12 @@ class TrackerConfig:
     # re-matches and destabilize tracking).
     desc_th: int = 100
     desc_th_local: int = 100
+    # raw-depth -> meters multiplier applied ON DEVICE (reference:
+    # DepthMapFactor, Tracking.cc:144-148 convertTo(CV_32F, factor)).
+    # Feeding raw uint16 depth + factor instead of host-converted float32
+    # cuts the host->device frame upload ~2.7x (matters on a
+    # remote-attached TPU where tunnel bandwidth bounds frame rate).
+    depth_factor: float = 1.0
 
     @property
     def cam(self) -> CamParams:
@@ -120,12 +133,16 @@ class Tracker:
         # corrections (loop closure / GBA), System.cc:336-394 semantics.
         self.rel_log: list[tuple[int, float, int, object, object]] = []
         self._timestamp = 0.0
-        # pipelined tracking: in-flight frames whose stats readbacks are
-        # deferred PIPELINE_DEPTH frames — depth 1 only hides host work,
-        # depth 2 gives each step a full frame-time of device occupancy
-        # before its stats are awaited (tunnel RTT ~23 ms + step ~13 ms)
+        # pipelined tracking: in-flight frames whose stats readbacks happen
+        # on a background reader thread. A frame is finalized as soon as its
+        # stats transfer has actually landed (the tunnel device->host RTT is
+        # ~30-60 ms — several frame times — so a fixed shallow depth stalls
+        # the loop on latency, not compute); pipeline_depth only bounds the
+        # backlog so decisions can't lag unboundedly.
         self._pending: list = []
-        self.pipeline_depth = 2
+        self.pipeline_depth = 8
+        self._reader = concurrent.futures.ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="stats-reader")
         # deferred loop-closure detection handle (LoopCloser.begin/finish)
         self._pending_loop = None
 
@@ -134,7 +151,9 @@ class Tracker:
         feats = self.extractor(jnp.asarray(img))
         xy = feats.xy
         if depth_map is not None:
-            dm = jnp.asarray(depth_map)
+            dm = jnp.asarray(depth_map).astype(jnp.float32)
+            if self.cfg.depth_factor != 1.0:
+                dm = dm * jnp.float32(self.cfg.depth_factor)
             yi = jnp.clip(jnp.round(xy[:, 1]).astype(jnp.int32), 0, self.cfg.height - 1)
             xi = jnp.clip(jnp.round(xy[:, 0]).astype(jnp.int32), 0, self.cfg.width - 1)
             d = dm[yi, xi]
@@ -171,16 +190,21 @@ class Tracker:
         return steps.FrameObs(fs, sd.depth,
                               jnp.full(feats.xy.shape[0], -1, jnp.int32))
 
-    def _log_pose(self, frame_id, R, t):
+    def _log_pose(self, frame_id, R, t, ref_kf=None, Rcr=None, tcr=None):
         # keep device arrays: forcing them to numpy here costs two tunnel
         # round trips per frame; conversion happens in trajectory_arrays()
         self.trajectory.append((frame_id, R, t))
         # relative chain: Tcr = Tcw * Twr with the ref KF's pose AS OF NOW —
-        # later keyframe corrections then propagate into saved trajectories
-        Rr, tr = self.map.kf_R[self.ref_kf], self.map.kf_t[self.ref_kf]
-        Rcr, tcr = se3.compose(R, t, *se3.inverse(Rr, tr))
+        # later keyframe corrections then propagate into saved trajectories.
+        # The fused RGB-D step computes Tcr in-device (res.Rcr/tcr); other
+        # paths derive it here in ONE jitted dispatch.
+        if ref_kf is None:
+            ref_kf = self.ref_kf
+        if Rcr is None:
+            Rcr, tcr = _rel_to_kf(R, t, self.map.kf_R, self.map.kf_t,
+                                  jnp.int32(ref_kf))
         self.rel_log.append(
-            (frame_id, self._timestamp, self.ref_kf, Rcr, tcr))
+            (frame_id, self._timestamp, ref_kf, Rcr, tcr))
 
     # -- main entry ------------------------------------------------------
     def process_rgbd(self, img, depth_map, frame_id=None):
@@ -212,18 +236,12 @@ class Tracker:
 
         cfg = self.cfg
         if self._pending:
-            # chain device-side on the newest in-flight frame; its pose and
-            # its predecessor's pose give the velocity (no sync needed)
-            p, _ = self._pending[-1]
-            if len(self._pending) >= 2:
-                q, _ = self._pending[-2]
-                base_R, base_t = q.R, q.t
-            else:
-                base_R, base_t = self.last_R, self.last_t
+            # chain device-side on the newest in-flight frame; its step
+            # already computed its own velocity (T_p * T_{p-1}^-1) in-device
+            p = self._pending[-1][0]
             prev_obs = steps.FrameObs(p.feats, p.depth, p.lm)
             prev_R, prev_t = p.R, p.t
-            vel_R, vel_t = se3.compose(
-                p.R, p.t, *se3.inverse(base_R, base_t))
+            vel_R, vel_t = p.vel_R, p.vel_t
             have_vel = True
         else:
             prev_obs = self.last_obs
@@ -235,19 +253,27 @@ class Tracker:
         res = self._step(
             cfg.cam, self.map, prev_obs, prev_R, prev_t,
             vel_R, vel_t, have_vel, jnp.int32(self.ref_kf),
-            jnp.asarray(img, jnp.float32), jnp.asarray(depth_map, jnp.float32),
+            jnp.asarray(img), jnp.asarray(depth_map),
+            jnp.float32(cfg.depth_factor),
             jnp.float32(cfg.depth_threshold), jnp.int32(cfg.desc_th),
             jnp.int32(cfg.desc_th_local), jnp.int32(min_obs))
         self.map = res.map
         try:
             # start the device->host stats transfer now: it completes in the
-            # background the moment the step finishes on device, so next
-            # frame's _finalize pays ~0 instead of a full tunnel round trip
+            # background the moment the step finishes on device, so the
+            # reader thread's np.asarray pays ~0 extra
             res.stats.copy_to_host_async()
         except Exception:
-            pass  # backends without async host copies: finalize just blocks
-        self._pending.append((res, frame_id))
-        while len(self._pending) > self.pipeline_depth:
+            pass  # backends without async host copies: the reader blocks
+        fut = self._reader.submit(np.asarray, res.stats)
+        self._pending.append((res, frame_id, fut, self.ref_kf))
+        # finalize every frame whose stats have landed; only force a block
+        # when the backlog exceeds pipeline_depth (keeps the device busy
+        # while decisions lag by one tunnel RTT, like the reference's
+        # asynchronous LocalMapping thread lags Tracking)
+        while self._pending and (
+                self._pending[0][2].done()
+                or len(self._pending) > self.pipeline_depth):
             oldest = self._pending.pop(0)
             if not self._finalize(*oldest):
                 # That frame was LOST; every newer in-flight step chained on
@@ -257,13 +283,13 @@ class Tracker:
                 return None
         return res.R, res.t
 
-    def _finalize(self, res, frame_id) -> bool:
+    def _finalize(self, res, frame_id, fut=None, ref_kf=None) -> bool:
         """Deferred per-frame epilogue: read the stats vector (the only
         device->host sync), run the lost/keyframe state machine for the
         frame, and update host tracking state. Returns False when the
         frame turned out LOST (its successor must be discarded)."""
         self._finish_pending_loop()
-        stats = np.asarray(res.stats)
+        stats = fut.result() if fut is not None else np.asarray(res.stats)
         mm_in, used_mm, track1_in, local_in, ref_matches, close_pack = (
             int(x) for x in stats)
         if track1_in < 10 or local_in < 30:
@@ -277,10 +303,12 @@ class Tracker:
         R, t = res.R, res.t
         self._n_inliers = local_in
         obs = steps.FrameObs(res.feats, res.depth, res.lm)
-        self.velocity = se3.compose(R, t, *se3.inverse(self.last_R, self.last_t))
+        # velocity and the ref-relative trajectory pose were computed in the
+        # fused step — the epilogue issues no device work at all
+        self.velocity = (res.vel_R, res.vel_t)
         self.last_R, self.last_t = R, t
         self.last_obs = obs
-        self._log_pose(frame_id, R, t)
+        self._log_pose(frame_id, R, t, ref_kf=ref_kf, Rcr=res.Rcr, tcr=res.tcr)
 
         tracked_close, non_tracked_close = close_pack // 10000, close_pack % 10000
         if (not self.localization_only
@@ -304,8 +332,8 @@ class Tracker:
         detection. Call before reading trajectories, state, or the map at
         a sequence boundary."""
         while self._pending:
-            res, fid = self._pending.pop(0)
-            if not self._finalize(res, fid):
+            oldest = self._pending.pop(0)
+            if not self._finalize(*oldest):
                 self._pending.clear()
         self._finish_pending_loop()
 

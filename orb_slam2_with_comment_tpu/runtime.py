@@ -18,7 +18,7 @@ def enable_compilation_cache(path: str | None = None) -> None:
         "ORB_TPU_COMPILE_CACHE", os.path.expanduser("~/.cache/orb_tpu_xla"))
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 
 
 class AsyncUploader:

@@ -33,6 +33,48 @@ _SENSOR_NAME = {Sensor.MONOCULAR: "mono", Sensor.STEREO: "stereo",
                 Sensor.RGBD: "rgbd"}
 
 
+class LazyPose:
+    """4x4 Tcw (world->camera) materialized on first access.
+
+    The per-frame Track* entries return this instead of forcing the pose
+    off-device: on a remote-attached TPU an eager device->host copy costs
+    a full tunnel round trip (~30-60 ms) and would serialize the pipelined
+    tracking step. Acts like an ndarray (`np.asarray(pose)`, `pose[...]`);
+    `is None` checks keep working because untracked frames return None.
+    """
+    __slots__ = ("_R", "_t", "_T")
+
+    def __init__(self, R, t):
+        self._R, self._t = R, t
+        self._T = None
+
+    def _mat(self) -> np.ndarray:
+        if self._T is None:
+            T = np.eye(4, dtype=np.float64)
+            T[:3, :3] = np.asarray(self._R)
+            T[:3, 3] = np.asarray(self._t)
+            self._T = T
+        return self._T
+
+    def matrix(self) -> np.ndarray:
+        return self._mat()
+
+    def __array__(self, dtype=None, copy=None):
+        m = self._mat()
+        return m.astype(dtype) if dtype is not None else m
+
+    def __getitem__(self, key):
+        return self._mat()[key]
+
+    @property
+    def shape(self):
+        return (4, 4)
+
+    def __repr__(self):
+        return f"LazyPose({self._mat()!r})" if self._T is not None \
+            else "LazyPose(<on device>)"
+
+
 class System:
     """User-facing façade (reference: System.h:62-123).
 
@@ -43,7 +85,8 @@ class System:
     """
 
     def __init__(self, config: TrackerConfig | None = None,
-                 sensor: Sensor = Sensor.RGBD, settings_path: str | None = None):
+                 sensor: Sensor = Sensor.RGBD, settings_path: str | None = None,
+                 use_viewer: bool = False, viewer_port: int = 8765):
         if config is None and settings_path is not None:
             from .dataio.settings import load_tracker_config
             config = load_tracker_config(settings_path)
@@ -56,6 +99,11 @@ class System:
         self._localization_mode = False
         self._shutdown = False
         self._big_change_idx = 0
+        # live web viewer (reference: Viewer thread, System.cc:105-108)
+        self.viewer = None
+        if use_viewer:
+            from .visualization.viewer import Viewer
+            self.viewer = Viewer(self, port=viewer_port)
 
     # -- per-frame entries (reference: System.cc:123-313) ----------------
     def track_monocular(self, img, timestamp: float = 0.0):
@@ -63,6 +111,8 @@ class System:
         Returns 4x4 Tcw (world->camera) or None when tracking failed."""
         assert self.sensor == Sensor.MONOCULAR, "wrong sensor for TrackMonocular"
         self.tracker._timestamp = timestamp
+        if self.viewer is not None:
+            self.viewer.push_frame(img)
         out = self.tracker.process_mono(img)
         return self._pose44(out)
 
@@ -70,6 +120,8 @@ class System:
         """Reference: System::TrackStereo (System.cc:123-180)."""
         assert self.sensor == Sensor.STEREO, "wrong sensor for TrackStereo"
         self.tracker._timestamp = timestamp
+        if self.viewer is not None:
+            self.viewer.push_frame(img_left)
         out = self.tracker.process_stereo(img_left, img_right)
         return self._pose44(out)
 
@@ -77,6 +129,8 @@ class System:
         """Reference: System::TrackRGBD (System.cc:182-222)."""
         assert self.sensor == Sensor.RGBD, "wrong sensor for TrackRGBD"
         self.tracker._timestamp = timestamp
+        if self.viewer is not None:
+            self.viewer.push_frame(img)
         out = self.tracker.process_rgbd(img, depth)
         return self._pose44(out)
 
@@ -84,11 +138,7 @@ class System:
     def _pose44(out):
         if out is None:
             return None
-        R, t = np.asarray(out[0]), np.asarray(out[1])
-        T = np.eye(4, dtype=np.float64)
-        T[:3, :3] = R
-        T[:3, 3] = t
-        return T
+        return LazyPose(out[0], out[1])
 
     # -- mode switches (reference: System.cc:284-307) --------------------
     def activate_localization_mode(self):
@@ -121,6 +171,8 @@ class System:
         threads; the functional pipeline has nothing to join — only the
         in-flight pipelined frame must be finalized."""
         self.tracker.flush()
+        if self.viewer is not None:
+            self.viewer.close()
         self._shutdown = True
 
     # -- state inspection (reference: System.h:137-146) ------------------

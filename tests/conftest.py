@@ -19,5 +19,12 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the suite compiles the same pipeline
+# programs in several files (and the driver re-runs the suite every
+# round), so cache XLA executables across processes.
+from orb_slam2_with_comment_tpu.runtime import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
 # NOTE: x64 is intentionally NOT enabled: tests run at the same float32
 # precision the TPU path uses, so numerical robustness issues surface in CI.
