@@ -35,6 +35,12 @@ def _rel_to_kf(R, t, kf_R, kf_t, ref_kf):
     return se3.compose(R, t, *se3.inverse(kf_R[ref_kf], kf_t[ref_kf]))
 
 
+@jax.jit
+def _stack_stats(*stats):
+    """Stack K per-frame stats vectors into one [K,6] readback payload."""
+    return jnp.stack(stats)
+
+
 class TrackState(enum.Enum):
     NOT_INITIALIZED = 0
     OK = 1
@@ -134,15 +140,21 @@ class Tracker:
         self.rel_log: list[tuple[int, float, int, object, object]] = []
         self._timestamp = 0.0
         # pipelined tracking: in-flight frames whose stats readbacks happen
-        # on a background reader thread. A frame is finalized as soon as its
-        # stats transfer has actually landed (the tunnel device->host RTT is
-        # ~30-60 ms — several frame times — so a fixed shallow depth stalls
-        # the loop on latency, not compute); pipeline_depth only bounds the
-        # backlog so decisions can't lag unboundedly.
+        # on a background reader thread. Stats of fetch_batch consecutive
+        # frames are stacked ON DEVICE into one [K,6] array and fetched in a
+        # SINGLE transfer: the tunnel device->host round trip (~27 ms — a
+        # few frame times) is paid once per K frames instead of once per
+        # frame, which otherwise caps the whole pipeline at 1/RTT frames/s.
+        # A frame finalizes as soon as its batch has landed; pipeline_depth
+        # bounds the backlog so decisions can't lag unboundedly (the same
+        # bounded lag the reference's LocalMapping queue gives keyframe
+        # decisions, Tracking.cc:1233).
         self._pending: list = []
+        self._open: list = []  # pending entries not yet assigned a fetch
         self.pipeline_depth = 8
+        self.fetch_batch = 4
         self._reader = concurrent.futures.ThreadPoolExecutor(
-            max_workers=1, thread_name_prefix="stats-reader")
+            max_workers=2, thread_name_prefix="stats-reader")
         # deferred loop-closure detection handle (LoopCloser.begin/finish)
         self._pending_loop = None
 
@@ -258,38 +270,59 @@ class Tracker:
             jnp.float32(cfg.depth_threshold), jnp.int32(cfg.desc_th),
             jnp.int32(cfg.desc_th_local), jnp.int32(min_obs))
         self.map = res.map
-        try:
-            # start the device->host stats transfer now: it completes in the
-            # background the moment the step finishes on device, so the
-            # reader thread's np.asarray pays ~0 extra
-            res.stats.copy_to_host_async()
-        except Exception:
-            pass  # backends without async host copies: the reader blocks
-        fut = self._reader.submit(np.asarray, res.stats)
-        self._pending.append((res, frame_id, fut, self.ref_kf))
-        # finalize every frame whose stats have landed; only force a block
-        # when the backlog exceeds pipeline_depth (keeps the device busy
-        # while decisions lag by one tunnel RTT, like the reference's
-        # asynchronous LocalMapping thread lags Tracking)
+        entry = [res, frame_id, None, self.ref_kf, -1]
+        self._pending.append(entry)
+        self._open.append(entry)
+        if len(self._open) >= self.fetch_batch:
+            self._submit_fetch()
+        # finalize every frame whose stats batch has landed; only force a
+        # block when the backlog exceeds pipeline_depth (keeps the device
+        # busy while decisions lag, like the reference's asynchronous
+        # LocalMapping thread lags Tracking)
         while self._pending and (
-                self._pending[0][2].done()
+                (self._pending[0][2] is not None and self._pending[0][2].done())
                 or len(self._pending) > self.pipeline_depth):
+            if self._pending[0][2] is None:
+                self._submit_fetch()
             oldest = self._pending.pop(0)
             if not self._finalize(*oldest):
                 # That frame was LOST; every newer in-flight step chained on
                 # its bad pose — discard them (the reference likewise drops
                 # frames until relocalization succeeds, Tracking.cc:528).
                 self._pending.clear()
+                self._open.clear()
                 return None
         return res.R, res.t
 
-    def _finalize(self, res, frame_id, fut=None, ref_kf=None) -> bool:
+    def _submit_fetch(self):
+        """Stack the open frames' stats on device and start ONE
+        device->host transfer covering all of them."""
+        if not self._open:
+            return
+        batch, self._open = self._open, []
+        z = _stack_stats(*[e[0].stats for e in batch])
+        try:
+            z.copy_to_host_async()
+        except Exception:
+            pass  # backends without async host copies: the reader blocks
+        fut = self._reader.submit(np.asarray, z)
+        for row, e in enumerate(batch):
+            e[2] = fut
+            e[4] = row
+
+    def _finalize(self, res, frame_id, fut=None, ref_kf=None,
+                  row=None) -> bool:
         """Deferred per-frame epilogue: read the stats vector (the only
         device->host sync), run the lost/keyframe state machine for the
         frame, and update host tracking state. Returns False when the
         frame turned out LOST (its successor must be discarded)."""
         self._finish_pending_loop()
-        stats = fut.result() if fut is not None else np.asarray(res.stats)
+        if fut is not None:
+            stats = fut.result()
+            if row is not None and row >= 0:
+                stats = stats[row]
+        else:
+            stats = np.asarray(res.stats)
         mm_in, used_mm, track1_in, local_in, ref_matches, close_pack = (
             int(x) for x in stats)
         if track1_in < 10 or local_in < 30:
@@ -331,10 +364,12 @@ class Tracker:
         decisions by pipeline_depth frames) and any deferred loop
         detection. Call before reading trajectories, state, or the map at
         a sequence boundary."""
+        self._submit_fetch()
         while self._pending:
             oldest = self._pending.pop(0)
             if not self._finalize(*oldest):
                 self._pending.clear()
+                self._open.clear()
         self._finish_pending_loop()
 
     def process_mono(self, img, frame_id=None):

@@ -1,4 +1,10 @@
-"""Per-frame timing breakdown of the bench workload on the current backend."""
+"""Per-frame timing breakdown of the bench workload on the current backend.
+
+Splits steady-state frame time into: upload wait (host->device transfer not
+yet done), step dispatch (process_rgbd body incl. any forced finalizes), and
+background-finalize stats-wait, to show whether the tunnel bandwidth, the
+device compute, or the readback RTT bounds throughput.
+"""
 import os
 import sys
 import time
@@ -21,59 +27,44 @@ world = SyntheticWorld(seed=1)
 poses = orbit_trajectory(n_frames=n_frames)
 cfg = TrackerConfig(
     n_features=1000, min_init_features=200,
-    map_cfg=MapConfig(k_max=24, n_feat=1000, l_max=8000, d_max=8), fps=30)
-frames = [world.render(R, t) for R, t in poses]
+    map_cfg=MapConfig(k_max=24, n_feat=1000, l_max=8000, d_max=8), fps=30,
+    depth_factor=1.0 / 5000.0)
+frames = [(np.clip(img, 0, 255).astype(np.uint8),
+           np.clip(depth * 5000.0, 0, 65535).astype(np.uint16))
+          for img, depth in (world.render(R, t) for R, t in poses)]
 
 tracker = Tracker(cfg)
 uploader = AsyncUploader()
 
 
 def run_pass(start):
-    times = []
-    kf_before = []
-    depths = []
+    up_w, disp, depths = [], [], []
     fut = uploader.put(*frames[0])
     for k in range(len(frames)):
+        t0 = time.perf_counter()
         img, depth = fut.result()
+        t1 = time.perf_counter()
         if k + 1 < len(frames):
             fut = uploader.put(*frames[k + 1])
-        kf_before.append(tracker.n_kf_host)
-        t0 = time.perf_counter()
         tracker.process_rgbd(img, depth, frame_id=start + k)
-        times.append(time.perf_counter() - t0)
+        t2 = time.perf_counter()
+        up_w.append(t1 - t0)
+        disp.append(t2 - t1)
         depths.append(len(tracker._pending))
-    return np.array(times), kf_before
+    return np.array(up_w), np.array(disp), depths
 
 
 run_pass(0)
-t, kfb = run_pass(n_frames)
-print("backend:", jax.default_backend())
-print("total: %.3fs  fps=%.2f" % (t.sum(), len(t) / t.sum()))
-print("median=%.1fms mean=%.1fms p90=%.1fms max=%.1fms" % (
-    np.median(t) * 1e3, t.mean() * 1e3, np.percentile(t, 90) * 1e3, t.max() * 1e3))
-kf_events = [i for i in range(1, len(kfb)) if kfb[i] != kfb[i - 1]]
-print("kf events at frames:", kf_events, " n_kf:", tracker.n_kf_host)
-slow = np.argsort(t)[-10:][::-1]
-print("slowest frames:", [(int(i), round(t[i] * 1e3, 1)) for i in slow])
-
-# instrument sections
-import orb_slam2_with_comment_tpu.pipeline.tracking as T
-orig_fin = T.Tracker._finalize
-fin_t = []
-def fin(self, res, frame_id, fut=None):
+for p in (1, 2):
     t0 = time.perf_counter()
-    wait = 0.0
-    if fut is not None:
-        tw = time.perf_counter(); fut.result(); wait = time.perf_counter() - tw
-    r = orig_fin(self, res, frame_id, fut)
-    fin_t.append((frame_id, wait, time.perf_counter() - t0))
-    return r
-T.Tracker._finalize = fin
-t2, _ = run_pass(2 * n_frames)
-print("pass3 fps=%.2f median=%.1fms mean=%.1fms" % (len(t2)/t2.sum(), np.median(t2)*1e3, t2.mean()*1e3))
-w = np.array([x[1] for x in fin_t]); tot = np.array([x[2] for x in fin_t])
-print("finalize: n=%d wait median=%.1fms mean=%.1fms; total median=%.1fms mean=%.1fms sum=%.2fs" % (
-    len(fin_t), np.median(w)*1e3, w.mean()*1e3, np.median(tot)*1e3, tot.mean()*1e3, tot.sum()))
-big = sorted(fin_t, key=lambda x: -x[2])[:8]
-print("slowest finalizes:", [(f, round(wv*1e3,1), round(tv*1e3,1)) for f, wv, tv in big])
-
+    up, disp, depths = run_pass(p * n_frames)
+    dt = time.perf_counter() - t0
+    print("pass%d: fps=%.2f  frame=%.1fms" % (p, n_frames / dt, dt / n_frames * 1e3))
+    print("  upload wait: median=%.1fms mean=%.1fms sum=%.2fs" % (
+        np.median(up) * 1e3, up.mean() * 1e3, up.sum()))
+    print("  dispatch:    median=%.1fms mean=%.1fms p90=%.1fms max=%.1fms sum=%.2fs" % (
+        np.median(disp) * 1e3, disp.mean() * 1e3,
+        np.percentile(disp, 90) * 1e3, disp.max() * 1e3, disp.sum()))
+    print("  pending depth: median=%d max=%d" % (
+        int(np.median(depths)), max(depths)))
+print("backend:", jax.default_backend(), " n_kf:", tracker.n_kf_host)

@@ -40,7 +40,7 @@ R0, t0 = tracker.last_R, tracker.last_t
 velR, velt = tracker.velocity
 args = (cfg.cam, tracker.map, obs, R0, t0, velR, velt, True,
         jnp.int32(tracker.ref_kf), img, depth,
-        jnp.float32(cfg.depth_threshold), jnp.int32(cfg.desc_th),
+        jnp.float32(cfg.depth_factor), jnp.float32(cfg.depth_threshold), jnp.int32(cfg.desc_th),
         jnp.int32(cfg.desc_th_local), jnp.int32(2))
 
 def call(m):
