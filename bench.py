@@ -1,23 +1,34 @@
 """Headline benchmark: RGB-D tracking throughput on real hardware.
 
-Runs the full tracking pipeline (ORB extraction -> matching -> pose
-optimization -> keyframe maintenance incl. fusion/culling/local BA) over a
-synthetic RGB-D sequence and reports steady-state tracked frames/s.
-Baseline: the reference's published real-time rate of ~30 fps on an i7 CPU
-(reference README.md:59, TRO'17 timing tables; BASELINE.md).
+Runs the autonomous on-device tracking pipeline (ORB extraction ->
+matching -> pose optimization -> on-device keyframe decision + keyframe
+maintenance incl. fusion/culling/local BA) over a synthetic RGB-D sequence
+and reports steady-state tracked frames/s. Baseline: the reference's
+published real-time rate of ~30 fps on an i7 CPU (reference README.md:59,
+TRO'17 timing tables; BASELINE.md).
 
 Measurement protocol: pass 1 over the sequence builds the map and triggers
 every one-time XLA compile (the counterpart of the reference's 10-20 s
 vocabulary load + first-run warmup, which its timing tables also exclude);
 then THREE timed passes re-track the same trajectory against the built map
 and the reported rate is the MEDIAN pass (the TPU is reached through a
-shared network tunnel whose bandwidth/latency fluctuates run to run; the
-median de-noises that interference without hiding steady-state cost).
-Host->device frame uploads are pipelined on a background thread
-(runtime.AsyncUploader) and carry raw uint8 pixels + uint16 depth
-(converted to float meters on device via TrackerConfig.depth_factor,
-the reference's DepthMapFactor semantics) exactly as a production
-driver would.
+shared network tunnel whose throughput fluctuates run to run; the median
+de-noises that interference without hiding steady-state cost).
+
+The tracker is pipeline.auto.AutoTracker: the entire per-frame state
+machine (initialization gate, motion-model/reference-KF/local-map
+tracking, NeedNewKeyFrame, keyframe maintenance, lost detection) runs on
+device as ONE jitted step per frame; raw uint8 pixels + uint16 depth
+(converted to meters on device via TrackerConfig.depth_factor, the
+reference's DepthMapFactor semantics) stream in with no device->host
+readback until the post-timing finalize — which is also how a production
+driver runs it, because the first readback of the process permanently
+degrades the remote transport to ~26 ms per synchronization (measured;
+see pipeline/auto.py docstring).
+
+After timing, the run is VALIDATED: finalize() must report an initialized,
+never-lost run with every timed frame tracked and a sane keyframe count,
+otherwise the script exits nonzero rather than print a number.
 
 Prints ONE JSON line:
   {"metric": "tracking_fps", "value": N, "unit": "frames/s", "vs_baseline": N/30}
@@ -32,29 +43,17 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np  # noqa: E402
 import jax  # noqa: E402
 
-from orb_slam2_with_comment_tpu.runtime import (  # noqa: E402
-    AsyncUploader, enable_compilation_cache)
+from orb_slam2_with_comment_tpu.runtime import enable_compilation_cache  # noqa: E402
 
 enable_compilation_cache()
 
 from orb_slam2_with_comment_tpu.dataio.synthetic import (  # noqa: E402
     SyntheticWorld, orbit_trajectory)
 from orb_slam2_with_comment_tpu.mapstate.map import MapConfig  # noqa: E402
-from orb_slam2_with_comment_tpu.pipeline import Tracker, TrackerConfig  # noqa: E402
+from orb_slam2_with_comment_tpu.pipeline import (  # noqa: E402
+    AutoTracker, AutoTrackerConfig, TrackerConfig)
 
 BASELINE_FPS = 30.0
-
-
-def run_pass(tracker, frames, uploader, start_frame_id):
-    fut = uploader.put(*frames[0])
-    n_ok = 0
-    for k in range(len(frames)):
-        img, depth = fut.result()
-        if k + 1 < len(frames):
-            fut = uploader.put(*frames[k + 1])
-        out = tracker.process_rgbd(img, depth, frame_id=start_frame_id + k)
-        n_ok += out is not None
-    return n_ok
 
 
 def main():
@@ -62,31 +61,49 @@ def main():
     world = SyntheticWorld(seed=1)
     poses = orbit_trajectory(n_frames=n_frames)
     cfg = TrackerConfig(
-        n_features=1000,
-        min_init_features=200,
+        n_features=1000, min_init_features=200,
         map_cfg=MapConfig(k_max=24, n_feat=1000, l_max=8000, d_max=8),
-        fps=30,
-        depth_factor=1.0 / 5000.0,  # uint16 "sensor counts" -> meters
-    )
-    # Pre-render all frames (dataset IO is not part of the measured loop)
-    # in wire format: uint8 pixels, uint16 depth (TUM-style 5000/m).
+        fps=30, depth_factor=1.0 / 5000.0)
     frames = [(np.clip(img, 0, 255).astype(np.uint8),
                np.clip(depth * 5000.0, 0, 65535).astype(np.uint16))
               for img, depth in (world.render(R, t) for R, t in poses)]
 
-    tracker = Tracker(cfg)
-    uploader = AsyncUploader()
-    # Pass 1: build the map; compiles every program (warmup).
-    run_pass(tracker, frames, uploader, 0)
+    tracker = AutoTracker(cfg, AutoTrackerConfig(traj_capacity=8 * n_frames))
 
-    # Timed passes: steady-state tracking over the same orbit.
+    # pass 1: build the map + compile everything (untimed warmup)
+    for img, depth in frames:
+        tracker.process_rgbd(img, depth)
+    tracker.sync()
+
+    # timed passes: steady-state re-tracking of the same trajectory
     rates = []
-    for p in range(1, 4):
+    for _ in range(3):
         t0 = time.perf_counter()
-        n_ok = run_pass(tracker, frames, uploader, p * n_frames)
+        for img, depth in frames:
+            tracker.process_rgbd(img, depth)
+        tracker.sync()
         dt = time.perf_counter() - t0
-        rates.append(n_ok / dt)
-    fps = sorted(rates)[1]
+        rates.append(n_frames / dt)
+
+    fps = float(np.median(rates))
+
+    # validate AFTER timing (finalize is the run's single readback)
+    out = tracker.finalize()
+    ok = (out["initialized"] and out["lost_at"] < 0
+          and int(out["valid"][n_frames:].sum()) == 3 * n_frames
+          and out["n_keyframes"] >= 3)
+    if not ok:
+        print(json.dumps({
+            "metric": "tracking_fps", "value": 0.0, "unit": "frames/s",
+            "vs_baseline": 0.0,
+            "error": {
+                "initialized": bool(out["initialized"]),
+                "lost_at": out["lost_at"],
+                "valid_timed": int(out["valid"][n_frames:].sum()),
+                "n_keyframes": out["n_keyframes"],
+            }}))
+        sys.exit(1)
+
     print(json.dumps({
         "metric": "tracking_fps",
         "value": round(fps, 2),

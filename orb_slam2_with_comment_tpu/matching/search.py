@@ -15,6 +15,7 @@ from __future__ import annotations
 import math
 from typing import NamedTuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -23,10 +24,32 @@ from . import core
 
 N_LEVELS = 8
 SCALE = 1.2
-SCALE_FACTORS = jnp.asarray([SCALE ** i for i in range(N_LEVELS)], jnp.float32)
+# HOST (numpy) tables, embedded as compile-time HLO constants at use sites
+# via jnp.asarray(...) inside traced code. Do NOT make these module-level
+# device arrays: a jitted program that dynamically gathers from a captured
+# device buffer permanently degrades the axon/tunnel backend to a ~26 ms
+# synchronous round trip PER DISPATCH for the rest of the process
+# (measured; see scripts/profile_bench.py history). Static integer
+# indexing (e.g. SCALE_FACTORS[N_LEVELS - 1]) stays host-side numpy.
+SCALE_FACTORS = np.asarray([SCALE ** i for i in range(N_LEVELS)], np.float32)
 SIGMA2 = SCALE_FACTORS * SCALE_FACTORS
-INV_SIGMA2 = 1.0 / SIGMA2
+INV_SIGMA2 = (1.0 / SIGMA2).astype(np.float32)
 LOG_SCALE = math.log(SCALE)
+
+
+def scale_at(octave):
+    """SCALE_FACTORS[octave] for traced ``octave`` (constant-table gather)."""
+    return jnp.asarray(SCALE_FACTORS)[octave]
+
+
+def sigma2_at(octave):
+    """SIGMA2[octave] for traced ``octave`` (constant-table gather)."""
+    return jnp.asarray(SIGMA2)[octave]
+
+
+def inv_sigma2_at(octave):
+    """INV_SIGMA2[octave] for traced ``octave`` (constant-table gather)."""
+    return jnp.asarray(INV_SIGMA2)[octave]
 
 
 class FeatureSet(NamedTuple):
@@ -106,7 +129,7 @@ def search_local_points(
     Returns (feat_idx [M], dist [M], matched [M]).
     """
     r = jnp.where(fr.view_cos > 0.998, 2.5, 4.0)
-    radius = r * th * SCALE_FACTORS[fr.level]
+    radius = r * th * scale_at(fr.level)
     du = feats.xy[None, :, 0] - fr.uv[:, None, 0]
     dv = feats.xy[None, :, 1] - fr.uv[:, None, 1]
     in_win = (jnp.abs(du) < radius[:, None]) & (jnp.abs(dv) < radius[:, None])
@@ -158,7 +181,7 @@ def search_by_projection_frame(
     v = cam.fy * Xc[..., 1] * iz + cam.cy
     ur_pred = u - cam.bf * iz
     in_img = (z > 0) & (u >= 0) & (u < width) & (v >= 0) & (v < height)
-    radius = th * SCALE_FACTORS[prev_feats.octave]
+    radius = th * scale_at(prev_feats.octave)
     du = feats.xy[None, :, 0] - u[:, None]
     dv = feats.xy[None, :, 1] - v[:, None]
     in_win = (jnp.abs(du) < radius[:, None]) & (jnp.abs(dv) < radius[:, None])
@@ -240,11 +263,11 @@ def search_for_triangulation(
     num = a * feats2.xy[None, :, 0] + b * feats2.xy[None, :, 1] + c
     den = a * a + b * b
     dsq = (num * num) / jnp.clip(den, 1e-12, None)
-    epi_ok = dsq < 3.84 * SIGMA2[feats2.octave][None, :]
+    epi_ok = dsq < 3.84 * sigma2_at(feats2.octave)[None, :]
     # Epipole proximity: kp2 must not sit on the epipole (unless both stereo).
     dex = feats2.xy[:, 0] - e2_xy[0]
     dey = feats2.xy[:, 1] - e2_xy[1]
-    far = (dex * dex + dey * dey) >= 100.0 * SCALE_FACTORS[feats2.octave]
+    far = (dex * dex + dey * dey) >= 100.0 * scale_at(feats2.octave)
     both_stereo = (feats1.ur[:, None] >= 0) & (feats2.ur[None, :] >= 0)
     epi_far_ok = jnp.where(both_stereo, True, far[None, :])
     mask = (
@@ -282,7 +305,7 @@ def search_by_sim3(
         dist = jnp.linalg.norm(Xc_dst, axis=-1)
         lvl = predict_scale(dist, lm_src.dmax)
         ok = (z > 0) & (dist >= lm_src.dmin) & (dist <= lm_src.dmax) & lm_src.valid
-        radius = th_ * SCALE_FACTORS[lvl]
+        radius = th_ * scale_at(lvl)
         du = feats_dst.xy[None, :, 0] - u[:, None]
         dv = feats_dst.xy[None, :, 1] - v[:, None]
         in_win = (jnp.abs(du) < radius[:, None]) & (jnp.abs(dv) < radius[:, None])
@@ -331,7 +354,7 @@ def fuse_candidates(
     replace-vs-add using observation counts (reference :1111-1114).
     """
     fr = frustum_check(cam, R, t, lm, width, height)
-    radius = th * SCALE_FACTORS[fr.level]
+    radius = th * scale_at(fr.level)
     du = feats.xy[None, :, 0] - fr.uv[:, None, 0]
     dv = feats.xy[None, :, 1] - fr.uv[:, None, 1]
     in_win = (jnp.abs(du) < radius[:, None]) & (jnp.abs(dv) < radius[:, None])
@@ -341,7 +364,7 @@ def fuse_candidates(
     err2 = du * du + dv * dv
     dur = fr.ur[:, None] - feats.ur[None, :]
     e2_stereo = err2 + dur * dur
-    inv_s2 = INV_SIGMA2[feats.octave][None, :]
+    inv_s2 = inv_sigma2_at(feats.octave)[None, :]
     chi_ok = jnp.where(
         feats.ur[None, :] >= 0,
         e2_stereo * inv_s2 <= 7.8,

@@ -26,10 +26,13 @@ _PATTERN_PATH = os.path.join(
 )
 # [256, 4] int8: (ax, ay, bx, by) per comparison
 PATTERN = np.load(_PATTERN_PATH).astype(np.float32)
-_PAT_AX = jnp.asarray(PATTERN[:, 0])
-_PAT_AY = jnp.asarray(PATTERN[:, 1])
-_PAT_BX = jnp.asarray(PATTERN[:, 2])
-_PAT_BY = jnp.asarray(PATTERN[:, 3])
+# host numpy views: auto-embedded as HLO constants when used in traced
+# arithmetic (module-level DEVICE constants captured by jitted programs can
+# degrade the axon backend; see matching/search.py table comment)
+_PAT_AX = PATTERN[:, 0]
+_PAT_AY = PATTERN[:, 1]
+_PAT_BX = PATTERN[:, 2]
+_PAT_BY = PATTERN[:, 3]
 
 
 N_ANGLE_BINS = 30  # ORB paper: steered BRIEF at 2*pi/30 (12 deg) increments

@@ -1,0 +1,359 @@
+"""Autonomous on-device tracking: the zero-readback steady state.
+
+The host-driven Tracker (pipeline.tracking) re-expresses the reference's
+Tracking thread as a Python state machine over fused device steps; its
+decisions (initialization gate, keyframe need, lost detection — reference:
+Tracking.cc:287-581) consume a handful of scalar readbacks per frame.
+
+On a remote-attached TPU those readbacks are fatal to throughput in a way
+profiling only revealed late: the FIRST device->host transfer of the
+process permanently switches the transport out of its streaming fast path,
+after which every host synchronization costs a ~26 ms round trip and
+host->device frame uploads serialize at ~36 ms each (~28 fps hard cap,
+measured; scripts/profile_bench.py history). Before any readback, uploads
+and dispatches stream at full rate — the same fused tracking step runs at
+~1.2 ms/frame end to end (~800 fps).
+
+This module therefore moves the ENTIRE per-frame state machine onto the
+device. All tracking state — the map, the previous frame bundle, pose,
+velocity, reference keyframe, initialization/lost flags, and the
+trajectory itself — lives in a single AutoState pytree that one jitted
+step transforms per frame:
+
+    state' = auto_step(state, img, depth)       # one dispatch, no readback
+
+Decisions become lax.cond branches (initialize / track / freeze-when-lost)
+and arithmetic on the in-step statistics vector (NeedNewKeyFrame,
+reference: Tracking.cc:1140-1244). Keyframe maintenance (fuse /
+triangulate via depth / cull / local BA — the reference's LocalMapping
+thread) runs as a cond branch of the same program. Trajectory poses are
+appended to on-device ring buffers and read back ONCE at finalize().
+
+The reference's three threads + mutexes (SURVEY.md §2.5 P1/P5) become a
+single functional stream: frames in, state evolves on device, trajectory
+out at the end. The host does no per-frame work but feeding numpy frames
+to the dispatcher, so a sequence of any length runs at device speed.
+
+Reference semantics preserved (SURVEY.md §2.6): stereo-init >500 features
+(Tracking.cc:586), keyframe decision rules c1a/c1b/c1c & c2 with
+close-point accounting (Tracking.cc:1140-1244), lost when pose tracking
+<10 inliers or local map <30 (Tracking.cc:916,1119), depth landmarks
+close-or-100-nearest (Tracking.cc:1271-1324).
+
+Loop closing / relocalization: not in this mode yet — the host-driven
+Tracker remains the full-featured path (loop detection + Sim3 correction +
+pose-graph + reloc). A lost AutoTracker freezes (frames keep streaming,
+poses marked invalid) and reports the lost frame at finalize(), where a
+host-driven recovery can take over.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..frontend import OrbExtractor
+from ..geometry import se3
+from ..mapstate.map import MapConfig, MapState, empty_map
+from ..matching.search import FeatureSet
+from .tracking import TrackerConfig
+from . import steps
+
+
+class AutoState(NamedTuple):
+    """Everything the per-frame step reads and writes, device-resident."""
+    map: MapState
+    # previous frame bundle (FrameObs flattened: NamedTuple-in-NamedTuple
+    # is fine for jax pytrees)
+    prev: steps.FrameObs
+    last_R: jax.Array  # [3,3]
+    last_t: jax.Array  # [3]
+    vel_R: jax.Array  # [3,3]
+    vel_t: jax.Array  # [3]
+    have_vel: jax.Array  # [] bool
+    ref_kf: jax.Array  # [] int32
+    last_kf_frame: jax.Array  # [] int32
+    frame_idx: jax.Array  # [] int32 frames processed so far
+    initialized: jax.Array  # [] bool
+    lost: jax.Array  # [] int32 frame index where tracking was lost, -1 ok
+    # trajectory ring buffers [T, ...] (reference: mlRelativeFramePoses +
+    # mlpReferences relative chain, Tracking.cc:562-579 — Rcr/tcr vs the
+    # reference keyframe AS OF the frame, so later keyframe corrections
+    # propagate into the saved trajectory)
+    traj_R: jax.Array  # [T,3,3]
+    traj_t: jax.Array  # [T,3]
+    traj_Rcr: jax.Array  # [T,3,3]
+    traj_tcr: jax.Array  # [T,3]
+    traj_ref: jax.Array  # [T] int32 reference keyframe id
+    traj_valid: jax.Array  # [T] bool
+    traj_stats: jax.Array  # [T,8] int32 per-frame statistics
+
+
+def empty_auto_state(cfg: TrackerConfig, traj_capacity: int) -> AutoState:
+    N = cfg.n_features
+    T = traj_capacity
+    f32, i32 = jnp.float32, jnp.int32
+    prev = steps.FrameObs(
+        FeatureSet(jnp.zeros((N, 2), f32), jnp.full((N,), -1.0, f32),
+                   jnp.zeros((N,), i32), jnp.zeros((N,), f32),
+                   jnp.zeros((N, 8), jnp.uint32), jnp.zeros((N,), bool)),
+        jnp.full((N,), -1.0, f32), jnp.full((N,), -1, i32))
+    return AutoState(
+        map=empty_map(cfg.map_cfg),
+        prev=prev,
+        last_R=jnp.eye(3, dtype=f32), last_t=jnp.zeros(3, f32),
+        vel_R=jnp.eye(3, dtype=f32), vel_t=jnp.zeros(3, f32),
+        have_vel=jnp.asarray(False),
+        ref_kf=jnp.int32(0), last_kf_frame=jnp.int32(-1),
+        frame_idx=jnp.int32(0),
+        initialized=jnp.asarray(False), lost=jnp.int32(-1),
+        traj_R=jnp.tile(jnp.eye(3, dtype=f32), (T, 1, 1)),
+        traj_t=jnp.zeros((T, 3), f32),
+        traj_Rcr=jnp.tile(jnp.eye(3, dtype=f32), (T, 1, 1)),
+        traj_tcr=jnp.zeros((T, 3), f32),
+        traj_ref=jnp.full((T,), -1, i32),
+        traj_valid=jnp.zeros((T,), bool),
+        traj_stats=jnp.zeros((T, 8), i32),
+    )
+
+
+def build_auto_step(extractor: OrbExtractor, cfg: TrackerConfig,
+                    traj_capacity: int):
+    """One jitted program: AutoState x (img, raw depth) -> AutoState."""
+    width, height = cfg.width, cfg.height
+    k_max = cfg.map_cfg.k_max
+    fps = float(cfg.fps)
+    min_init = int(cfg.min_init_features)
+    T = traj_capacity
+    cam = cfg.cam
+    depth_factor = jnp.float32(cfg.depth_factor)
+    th_depth = jnp.float32(cfg.depth_threshold)
+    desc_th = jnp.int32(cfg.desc_th)
+    desc_th_local = jnp.int32(cfg.desc_th_local)
+
+    def write_traj(s: AutoState, R, t, Rcr, tcr, ref, valid, stats8):
+        i = jnp.mod(s.frame_idx, T)
+        return s._replace(
+            traj_R=s.traj_R.at[i].set(R),
+            traj_t=s.traj_t.at[i].set(t),
+            traj_Rcr=s.traj_Rcr.at[i].set(Rcr),
+            traj_tcr=s.traj_tcr.at[i].set(tcr),
+            traj_ref=s.traj_ref.at[i].set(ref),
+            traj_valid=s.traj_valid.at[i].set(valid),
+            traj_stats=s.traj_stats.at[i].set(stats8),
+        )
+
+    def do_initialize(s: AutoState, feats: FeatureSet, d) -> AutoState:
+        """StereoInitialization (reference: Tracking.cc:584-636) under a
+        validity gate computed on device: >500 valid features required."""
+        n_valid = jnp.sum(feats.valid.astype(jnp.int32))
+        ok = n_valid > min_init
+
+        def init(s):
+            obs = steps.FrameObs(feats, d, jnp.full(d.shape[0], -1, jnp.int32))
+            R = jnp.eye(3, dtype=jnp.float32)
+            t = jnp.zeros(3, jnp.float32)
+            m = steps.insert_keyframe(s.map, cam, obs, R, t, s.frame_idx)
+            m = steps.create_depth_landmarks(m, cam, jnp.int32(0),
+                                             jnp.float32(1e9))
+            s = s._replace(
+                map=m,
+                prev=steps.FrameObs(feats, d, m.kf_lm[0]),
+                last_R=R, last_t=t,
+                have_vel=jnp.asarray(False),
+                ref_kf=jnp.int32(0), last_kf_frame=s.frame_idx,
+                initialized=jnp.asarray(True))
+            stats8 = jnp.zeros(8, jnp.int32).at[6].set(1)  # flag: init frame
+            return write_traj(s, R, t, R, t, jnp.int32(0),
+                              jnp.asarray(True), stats8)
+
+        return jax.lax.cond(ok, init, lambda s: s, s)
+
+    def do_track(s: AutoState, feats: FeatureSet, d) -> AutoState:
+        res = steps.track_frame_core(
+            cam, s.map, s.prev, s.last_R, s.last_t, s.vel_R, s.vel_t,
+            s.have_vel, s.ref_kf, feats, d, th_depth, desc_th,
+            desc_th_local,
+            jnp.where(s.map.n_kf > 2, jnp.int32(2), jnp.int32(1)),
+            width, height)
+        mm_in, used_mm, track1_in, local_in, ref_matches, close_pack = (
+            res.stats[0], res.stats[1], res.stats[2], res.stats[3],
+            res.stats[4], res.stats[5])
+        now_lost = (track1_in < 10) | (local_in < 30)
+
+        # NeedNewKeyFrame (reference: Tracking.cc:1140-1244) on device
+        tracked_close = close_pack // 10000
+        non_tracked_close = jnp.mod(close_pack, 10000)
+        frames_since = s.frame_idx - s.last_kf_frame
+        need_close = (tracked_close < 100) & (non_tracked_close > 70)
+        th_ref = jnp.where(s.map.n_kf < 2, 0.4, 0.75)
+        c1a = frames_since >= fps
+        c1b = frames_since >= 3  # emulated mapping-thread duty cycle
+        c1c = (local_in < ref_matches * 0.25) | need_close
+        c2 = (((local_in < ref_matches * th_ref) | need_close)
+              & (local_in > 15))
+        need_kf = ((c1a | c1b | c1c) & c2
+                   & (s.map.n_kf < k_max) & ~now_lost)
+
+        def insert(args):
+            m, feats, dd, lm, R, t, fid = args
+            obs = steps.FrameObs(feats, dd, lm)
+            kf = m.n_kf
+            m = steps.keyframe_step(m, cam, obs, R, t, fid, th_depth,
+                                    width, height)
+            return m, kf, m.kf_lm[kf]
+
+        def no_insert(args):
+            m, feats, dd, lm, R, t, fid = args
+            return m, jnp.int32(-1), lm
+
+        m2, new_kf, lm_after = jax.lax.cond(
+            need_kf, insert, no_insert,
+            (res.map, res.feats, res.depth, res.lm, res.R, res.t,
+             s.frame_idx))
+        inserted = new_kf >= 0
+        ref_kf = jnp.where(inserted, new_kf, s.ref_kf)
+        last_kf_frame = jnp.where(inserted, s.frame_idx, s.last_kf_frame)
+        stats8 = jnp.concatenate([
+            res.stats,
+            jnp.stack([inserted.astype(jnp.int32), jnp.int32(0)])])
+
+        def apply_ok(s):
+            # res.Rcr/tcr are relative to the PRE-insert reference keyframe
+            old_ref = s.ref_kf
+            s = s._replace(
+                map=m2,
+                prev=steps.FrameObs(res.feats, res.depth, lm_after),
+                last_R=res.R, last_t=res.t,
+                vel_R=res.vel_R, vel_t=res.vel_t,
+                have_vel=jnp.asarray(True),
+                ref_kf=ref_kf, last_kf_frame=last_kf_frame)
+            return write_traj(s, res.R, res.t, res.Rcr, res.tcr, old_ref,
+                              jnp.asarray(True), stats8)
+
+        def apply_lost(s):
+            # freeze: keep the map/pose; mark lost with this frame index
+            # (reference drops frames until relocalization, Tracking.cc:528)
+            s = s._replace(lost=s.frame_idx, have_vel=jnp.asarray(False))
+            return write_traj(s, s.last_R, s.last_t, s.last_R, s.last_t,
+                              s.ref_kf, jnp.asarray(False), stats8)
+
+        return jax.lax.cond(now_lost, apply_lost, apply_ok, s)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def auto_step(s: AutoState, img, depth_raw) -> AutoState:
+        feats, d = steps.extract_rgbd_features(
+            extractor, cam, img, depth_raw, depth_factor, width, height)
+
+        def when_alive(s):
+            return jax.lax.cond(
+                s.initialized,
+                lambda s: do_track(s, feats, d),
+                lambda s: do_initialize(s, feats, d), s)
+
+        def when_lost(s):
+            # frames keep streaming; poses invalid (host recovers later)
+            return write_traj(s, s.last_R, s.last_t, s.last_R, s.last_t,
+                              s.ref_kf, jnp.asarray(False),
+                              jnp.zeros(8, jnp.int32))
+
+        s = jax.lax.cond(s.lost >= 0, when_lost, when_alive, s)
+        return s._replace(frame_idx=s.frame_idx + 1)
+
+    return auto_step
+
+
+@dataclass
+class AutoTrackerConfig:
+    """Extra knobs of the autonomous mode."""
+    traj_capacity: int = 4096  # trajectory ring size (frames)
+
+
+class AutoTracker:
+    """RGB-D tracker whose per-frame state machine runs on device.
+
+    Usage:
+        tr = AutoTracker(cfg)
+        for img, depth in frames:        # numpy uint8 [H,W], uint16 [H,W]
+            tr.process_rgbd(img, depth)  # one async dispatch, NO readback
+        result = tr.finalize()           # single readback at the end
+
+    process_rgbd returns nothing by design: reading the pose back
+    per-frame would collapse the transport into its degraded synchronous
+    mode (module docstring). Use the host-driven Tracker when per-frame
+    poses must be consumed online (e.g. the AR demo).
+    """
+
+    def __init__(self, cfg: TrackerConfig,
+                 auto_cfg: AutoTrackerConfig | None = None):
+        if cfg.map_cfg.n_feat != cfg.n_features:
+            raise ValueError("map_cfg.n_feat must equal n_features")
+        self.cfg = cfg
+        self.auto_cfg = auto_cfg or AutoTrackerConfig()
+        self.extractor = OrbExtractor(n_features=cfg.n_features)
+        self._step = build_auto_step(self.extractor, cfg,
+                                     self.auto_cfg.traj_capacity)
+        self.state = empty_auto_state(cfg, self.auto_cfg.traj_capacity)
+        self.frame_count = 0
+        self.timestamps: list[float] = []
+
+    def process_rgbd(self, img, depth, timestamp: float | None = None):
+        """Track one frame: one device dispatch, zero synchronization."""
+        self.state = self._step(self.state, img, depth)
+        self.timestamps.append(
+            self.frame_count / self.cfg.fps if timestamp is None
+            else timestamp)
+        self.frame_count += 1
+
+    def sync(self):
+        """Wait for the device to drain (no data readback)."""
+        jax.block_until_ready(self.state.frame_idx)
+
+    def finalize(self) -> dict:
+        """ONE device->host readback of the whole run: trajectory ring
+        buffers, flags, and per-frame statistics, unrolled to frame order.
+        """
+        s = self.state
+        T = self.auto_cfg.traj_capacity
+        n = self.frame_count
+        host = jax.device_get(
+            (s.traj_R, s.traj_t, s.traj_Rcr, s.traj_tcr, s.traj_ref,
+             s.traj_valid, s.traj_stats, s.lost, s.initialized, s.map.n_kf))
+        (R, t, Rcr, tcr, ref, valid, stats, lost, initialized, n_kf) = host
+        if n <= T:
+            order = np.arange(n)
+        else:  # ring wrapped: oldest surviving frame first
+            order = np.arange(n - T, n) % T
+        return {
+            "R": R[order % T], "t": t[order % T],
+            "Rcr": Rcr[order % T], "tcr": tcr[order % T],
+            "ref_kf": ref[order % T], "valid": valid[order % T],
+            "stats": stats[order % T],
+            "timestamps": np.asarray(self.timestamps[-len(order):]),
+            "lost_at": int(lost), "initialized": bool(initialized),
+            "n_keyframes": int(n_kf), "n_frames": n,
+        }
+
+    def trajectory_tum(self) -> list[str]:
+        """TUM-format lines (timestamp tx ty tz qx qy qz qw), camera->world
+        like the reference's SaveTrajectoryTUM (System.cc:336-394)."""
+        from ..geometry import se3 as geo_se3
+        out = self.finalize()
+        lines = []
+        for i in range(len(out["timestamps"])):
+            if not out["valid"][i]:
+                continue
+            R = out["R"][i]
+            t = out["t"][i]
+            Rwc = R.T
+            twc = -R.T @ t
+            qw, qx, qy, qz = np.asarray(
+                geo_se3.matrix_to_quat(jnp.asarray(Rwc)))
+            ts = out["timestamps"][i]
+            lines.append(f"{ts:.6f} {twc[0]:.7f} {twc[1]:.7f} {twc[2]:.7f} "
+                         f"{qx:.7f} {qy:.7f} {qz:.7f} {qw:.7f}")
+        return lines

@@ -102,8 +102,8 @@ class LoopCloser:
         X2c = se3.transform(m.kf_R[cand], m.kf_t[cand], m.lm_pw[l2])
         uv1 = m.kf_xy[kf]
         uv2 = m.kf_xy[cand][safe_idx]
-        s2_1 = msearch.SIGMA2[m.kf_octave[kf]]
-        s2_2 = msearch.SIGMA2[m.kf_octave[cand][safe_idx]]
+        s2_1 = msearch.sigma2_at(m.kf_octave[kf])
+        s2_2 = msearch.sigma2_at(m.kf_octave[cand][safe_idx])
         valid = matched & has1
         K = (float(cam.fx), float(cam.fy), float(cam.cx), float(cam.cy))
         self.key, sub = jax.random.split(self.key)
@@ -216,7 +216,7 @@ class LoopCloser:
         ur = m.kf_ur[kf_idx, feat_idx]
         uvr = jnp.concatenate([uv, ur[..., None]], axis=-1)
         octv = m.kf_octave[kf_idx, feat_idx]
-        wgt = jnp.where(obs_valid & m.lm_valid[:, None], INV_SIGMA2[octv], 0.0)
+        wgt = jnp.where(obs_valid & m.lm_valid[:, None], msearch.inv_sigma2_at(octv), 0.0)
         fixed = jnp.zeros(m.kf_R.shape[0], bool).at[0].set(True)
         fixed = fixed | ~m.kf_valid
         prob = ba.BAProblem(m.kf_R, m.kf_t, m.lm_pw, kf_idx, uvr, wgt,

@@ -19,7 +19,8 @@ from ..geometry import se3
 from ..mapstate.map import MapState, add_observation, landmark_obs_count
 from ..ops import prims
 from ..matching import search as msearch
-from ..matching.search import FeatureSet, LandmarkSet
+from ..matching.search import (FeatureSet, LandmarkSet, inv_sigma2_at,
+                               scale_at)
 from ..optim import ba, pose_opt
 from ..optim.residuals import CamParams
 
@@ -124,8 +125,8 @@ def create_depth_landmarks(m: MapState, cam: CamParams, kf, th_depth) -> MapStat
     pw = Xc @ R + Ow
     dist = jnp.linalg.norm(pw - Ow, axis=-1)
     normal = (pw - Ow) / jnp.clip(dist, 1e-9, None)[:, None]
-    dmax = dist * SCALE_FACTORS[octv]
-    dmin = dmax / SCALE_FACTORS[N_LEVELS - 1]
+    dmax = dist * scale_at(octv)
+    dmin = dmax / float(SCALE_FACTORS[N_LEVELS - 1])
     sel = create
     m = m._replace(
         lm_pw=m.lm_pw.at[safe_slots].set(jnp.where(sel[:, None], pw, m.lm_pw[safe_slots])),
@@ -192,8 +193,8 @@ def insert_landmarks_two_view(m: MapState, cam: CamParams, kf1, kf2,
     Ow2 = -R2.T @ t2
     dist = jnp.linalg.norm(pw - Ow2, axis=-1)
     octv2 = m.kf_octave[kf2, jnp.clip(idx2, 0)]
-    dmax = dist * SCALE_FACTORS[octv2]
-    dmin = dmax / SCALE_FACTORS[N_LEVELS - 1]
+    dmax = dist * scale_at(octv2)
+    dmin = dmax / float(SCALE_FACTORS[N_LEVELS - 1])
     normal = (pw - Ow2) / jnp.clip(dist, 1e-9, None)[:, None]
     m, slots, ok = _insert_landmark_rows(
         m, pw, m.kf_desc[kf1], normal, dmin, dmax, kf2, mask)
@@ -261,8 +262,8 @@ def triangulate_landmarks(m: MapState, cam: CamParams, kf1, kf2) -> MapState:
     Xc1 = X @ R1.T + t1
     Xc2 = X @ R2.T + t2
     chei = (Xc1[:, 2] > 0) & (Xc2[:, 2] > 0)
-    inv1 = INV_SIGMA2[f1.octave]
-    inv2 = INV_SIGMA2[f2.octave[safe2]]
+    inv1 = inv_sigma2_at(f1.octave)
+    inv2 = inv_sigma2_at(f2.octave[safe2])
 
     def reproj_chi2(Xc, xy, ur, inv):
         zc = jnp.clip(Xc[:, 2], 1e-9, None)
@@ -280,7 +281,7 @@ def triangulate_landmarks(m: MapState, cam: CamParams, kf1, kf2) -> MapState:
     d1 = jnp.linalg.norm(X - Ow1[None], axis=-1)
     d2 = jnp.linalg.norm(X - Ow2[None], axis=-1)
     ratio_dist = d2 / jnp.clip(d1, 1e-9, None)
-    ratio_oct = SCALE_FACTORS[f1.octave] / SCALE_FACTORS[f2.octave[safe2]]
+    ratio_oct = scale_at(f1.octave) / scale_at(f2.octave[safe2])
     ratio_factor = 1.5 * SCALE
     scale_ok = ((ratio_dist * ratio_factor >= ratio_oct)
                 & (ratio_dist <= ratio_oct * ratio_factor))
@@ -390,7 +391,7 @@ def _pose_optimize_from_matches(cam, m, feats, frame_lm, R0, t0):
     has = frame_lm >= 0
     Xw = m.lm_pw[jnp.clip(frame_lm, 0)]
     obs_uvr = jnp.concatenate([feats.xy, feats.ur[:, None]], axis=-1)
-    inv_s2 = INV_SIGMA2[feats.octave]
+    inv_s2 = inv_sigma2_at(feats.octave)
     res = pose_opt.optimize_pose(cam, R0, t0, Xw, obs_uvr, inv_s2, has & feats.valid)
     lm_out = jnp.where(res.inliers, frame_lm, -1)
     return TrackResult(res.R, res.t, lm_out,
@@ -516,7 +517,7 @@ def local_bundle_adjustment(m: MapState, cam, cur_kf, iters_a: int = 5) -> MapSt
     ur = m.kf_ur[kf_idx, feat_idx]
     uvr = jnp.concatenate([uv, ur[..., None]], axis=-1)
     octv = m.kf_octave[kf_idx, feat_idx]
-    wgt = jnp.where(obs_valid & lm_local[:, None], INV_SIGMA2[octv], 0.0)
+    wgt = jnp.where(obs_valid & lm_local[:, None], inv_sigma2_at(octv), 0.0)
     prob = ba.BAProblem(
         R=m.kf_R, t=m.kf_t, X=m.lm_pw,
         obs_pose=kf_idx, obs_uvr=uvr, obs_w=wgt,
@@ -736,8 +737,8 @@ def refresh_landmarks(m: MapState) -> MapState:
     ref_feat = m.lm_obs_feat[:, 0]
     dist_ref = jnp.linalg.norm(m.lm_pw - Ow[ref_kf], axis=-1)
     octv = m.kf_octave[ref_kf, ref_feat]
-    dmax = dist_ref * SCALE_FACTORS[octv]
-    dmin = dmax / SCALE_FACTORS[N_LEVELS - 1]
+    dmax = dist_ref * scale_at(octv)
+    dmin = dmax / float(SCALE_FACTORS[N_LEVELS - 1])
     lm_dmax = jnp.where(has_obs, dmax, m.lm_dmax)
     lm_dmin = jnp.where(has_obs, dmin, m.lm_dmin)
     return m._replace(lm_desc=lm_desc, lm_normal=lm_normal,
@@ -768,20 +769,132 @@ class FrameStepResult(NamedTuple):
     tcr: jax.Array
 
 
-def build_track_frame_step(extractor, width: int, height: int):
-    """Build the fused per-frame step: extraction -> depth gating -> motion
-    model (with widened retry) -> reference-KF fallback -> local-map
-    tracking -> keyframe-decision statistics, as ONE jitted program.
+def extract_rgbd_features(extractor, cam, img, depth_map, depth_factor,
+                          width: int, height: int):
+    """Shared frame prep: ORB extraction + depth sampling with the
+    occlusion-boundary gate + mvuRight synthesis. Returns (feats, d).
 
-    The host state machine previously issued 5-8 device calls + several
-    scalar readbacks per frame; on a remote-attached TPU each call costs a
-    full round trip (~30 ms measured), so the per-frame pipeline is fused
-    into a single call returning one small stats vector (SURVEY.md §2.5 P1:
-    vectorized pipeline stages instead of threads).
-    Branches (motion-model vs reference-keyframe fallback) become computed-
-    both + select: on TPU the extra brute match costs microseconds and
-    avoids lax.cond around big closures.
+    Raw depth (e.g. uint16 millimeters) -> float32 meters on device
+    (reference: DepthMapFactor convertTo, Tracking.cc:144-148) — uploading
+    raw integers keeps the per-frame host->device transfer small. The
+    depth-edge gate rejects corners whose 3x3 depth neighborhood is
+    inconsistent (>4% spread or invalid): occlusion-boundary corners flip
+    between foreground and background depth with sub-pixel motion and
+    poison landmarks.
     """
+    depth_map = depth_map.astype(jnp.float32) * depth_factor
+    feats_raw = extractor._extract(img)
+    xy = feats_raw.xy
+    # dense 3x3 min/max maps via 8 shifted elementwise ops, then ONE
+    # one-hot-matmul point sampling (was 9 gather ops ~1 ms each)
+    yi = jnp.clip(jnp.round(xy[:, 1]).astype(jnp.int32), 0, height - 1)
+    xi = jnp.clip(jnp.round(xy[:, 0]).astype(jnp.int32), 0, width - 1)
+    dmin_map = depth_map
+    dmax_map = depth_map
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            sh = jnp.roll(depth_map, (dy, dx), axis=(0, 1))
+            dmin_map = jnp.minimum(dmin_map, sh)
+            dmax_map = jnp.maximum(dmax_map, sh)
+    from ..ops.patches import sample_maps
+    sampled = sample_maps(
+        jnp.stack([depth_map, dmin_map, dmax_map]),
+        jnp.stack([yi, xi], axis=-1))
+    d, dmin, dmax = sampled[:, 0], sampled[:, 1], sampled[:, 2]
+    edge = (dmin <= 0) | ((dmax - dmin) > 0.04 * jnp.clip(d, 1e-6, None))
+    d = jnp.where((d > 0) & ~edge, d, -1.0)
+    ur = jnp.where(d > 0, xy[:, 0] - cam.bf / jnp.clip(d, 1e-6, None), -1.0)
+    feats = FeatureSet(xy, ur, feats_raw.octave, feats_raw.angle,
+                       feats_raw.desc, feats_raw.valid)
+    return feats, d
+
+
+def track_frame_core(cam, m: MapState, prev: FrameObs, last_R, last_t,
+                     vel_R, vel_t, have_vel, ref_kf, feats: FeatureSet, d,
+                     th_depth, desc_th, desc_th_local, min_obs,
+                     width: int, height: int) -> FrameStepResult:
+    """The fused steady-state tracking body over prepared features:
+    motion model (with widened retry) -> reference-KF fallback ->
+    local-map tracking -> keyframe-decision statistics. ``have_vel``
+    may be a python bool (static: dead branch pruned at trace time) or a
+    traced bool (both paths computed, result selected — on TPU the extra
+    match costs microseconds and keeps control flow out of the program)."""
+    static_vel = isinstance(have_vel, bool)
+    if (not static_vel) or have_vel:
+        R_pred, t_pred = se3.compose(vel_R, vel_t, last_R, last_t)
+        mm1 = track_motion_model(cam, m, prev, last_R, last_t, feats,
+                                 R_pred, t_pred, jnp.float32(7.0),
+                                 jnp.float32(width), jnp.float32(height),
+                                 desc_th)
+        mm2 = track_motion_model(cam, m, prev, last_R, last_t, feats,
+                                 R_pred, t_pred, jnp.float32(14.0),
+                                 jnp.float32(width), jnp.float32(height),
+                                 desc_th)
+        mm_ok1 = mm1.n_inliers >= 10
+        mm = jax.tree.map(
+            lambda a, b: jnp.where(mm_ok1, a, b), mm1, mm2)
+        # reference gates: motion model needs >=20 raw matches AND >=10
+        # post-opt inliers (Tracking.cc:1027,1062)
+        mm_ok = (mm.n_matches >= 20) & (mm.n_inliers >= 10)
+        if not static_vel:
+            mm_ok = mm_ok & have_vel
+    else:
+        mm = None
+    ref = track_reference_keyframe(cam, m, ref_kf, feats, last_R, last_t)
+    if (not static_vel) or have_vel:
+        # The reference tries the motion model first and falls back to the
+        # reference keyframe only on failure (Tracking.cc:341-352). Both
+        # are computed here anyway (masked dense work costs the same), so
+        # select the STRONGER accepted result — a marginal motion-model
+        # pose (e.g. 12 inliers under fast motion) must not shadow a
+        # 100-inlier reference-KF solve; the weak pose corrupts the
+        # keyframe it seeds and collapses the next frame's local tracking.
+        ref_ok = (ref.n_matches >= 15) & (ref.n_inliers >= 10)
+        use_mm = mm_ok & (~ref_ok | (mm.n_inliers >= ref.n_inliers))
+        res = jax.tree.map(lambda a, b: jnp.where(use_mm, a, b), mm, ref)
+        used_mm = use_mm.astype(jnp.int32)
+        mm_inliers = mm.n_inliers
+    else:
+        res = ref
+        used_mm = jnp.int32(0)
+        mm_inliers = jnp.int32(0)
+    local_mask = local_landmark_mask(m, ref_kf)
+    res2, m = track_local_map(cam, m, feats, res.lm, res.R, res.t,
+                              local_mask, jnp.float32(3.0), width, height,
+                              desc_th_local)
+    # keyframe-decision statistics (reference: Tracking.cc:1140-1244)
+    from ..ops.patches import take_rows
+    ref_lm = m.kf_lm[ref_kf]
+    has_ref = (ref_lm >= 0) & m.kf_feat_valid[ref_kf]
+    lm_table = jnp.stack(
+        [jnp.sum((m.lm_obs_kf >= 0), axis=1).astype(jnp.float32),
+         m.lm_valid.astype(jnp.float32)], axis=1)  # [L, 2]
+    picked = take_rows(lm_table, jnp.clip(ref_lm, 0))
+    nobs = picked[:, 0].astype(jnp.int32)
+    ref_matches = jnp.sum(
+        (has_ref & (nobs >= min_obs)
+         & (picked[:, 1] > 0)).astype(jnp.int32))
+    close = (d > 0) & (d < th_depth)
+    tracked_close = jnp.sum((close & (res2.lm >= 0)).astype(jnp.int32))
+    non_tracked_close = jnp.sum((close & (res2.lm < 0)).astype(jnp.int32))
+    stats = jnp.stack([
+        mm_inliers, used_mm,
+        res.n_inliers, res2.n_inliers, ref_matches,
+        tracked_close * 10000 + non_tracked_close,
+    ]).astype(jnp.int32)
+    new_vel = se3.compose(res2.R, res2.t, *se3.inverse(last_R, last_t))
+    rel = se3.compose(res2.R, res2.t,
+                      *se3.inverse(m.kf_R[ref_kf], m.kf_t[ref_kf]))
+    return FrameStepResult(m, res2.R, res2.t, res2.lm, feats, d, stats,
+                           new_vel[0], new_vel[1], rel[0], rel[1])
+
+
+def build_track_frame_step(extractor, width: int, height: int):
+    """Build the fused per-frame step (extraction -> depth gating ->
+    tracking core) as ONE jitted program returning one small stats vector
+    (SURVEY.md §2.5 P1: vectorized pipeline stages instead of threads)."""
 
     @partial(jax.jit, donate_argnums=(1,),
              static_argnames=("have_vel",))
@@ -789,89 +902,12 @@ def build_track_frame_step(extractor, width: int, height: int):
              vel_R, vel_t, have_vel: bool, ref_kf, img, depth_map,
              depth_factor, th_depth, desc_th, desc_th_local,
              min_obs) -> FrameStepResult:
-        # raw depth (e.g. uint16 millimeters) -> float32 meters on device
-        # (reference: DepthMapFactor convertTo, Tracking.cc:144-148) —
-        # uploading raw integers keeps the per-frame tunnel transfer small
-        depth_map = depth_map.astype(jnp.float32) * depth_factor
-        feats_raw = extractor._extract(img)
-        xy = feats_raw.xy
-        # depth sampling + occlusion-boundary gate (see Tracker._frame_obs):
-        # dense 3x3 min/max maps via 8 shifted elementwise ops, then ONE
-        # one-hot-matmul point sampling (was 9 gather ops ~1 ms each)
-        yi = jnp.clip(jnp.round(xy[:, 1]).astype(jnp.int32), 0, height - 1)
-        xi = jnp.clip(jnp.round(xy[:, 0]).astype(jnp.int32), 0, width - 1)
-        dmin_map = depth_map
-        dmax_map = depth_map
-        for dy in (-1, 0, 1):
-            for dx in (-1, 0, 1):
-                if dy == 0 and dx == 0:
-                    continue
-                sh = jnp.roll(depth_map, (dy, dx), axis=(0, 1))
-                dmin_map = jnp.minimum(dmin_map, sh)
-                dmax_map = jnp.maximum(dmax_map, sh)
-        from ..ops.patches import sample_maps
-        sampled = sample_maps(
-            jnp.stack([depth_map, dmin_map, dmax_map]),
-            jnp.stack([yi, xi], axis=-1))
-        d, dmin, dmax = sampled[:, 0], sampled[:, 1], sampled[:, 2]
-        edge = (dmin <= 0) | ((dmax - dmin) > 0.04 * jnp.clip(d, 1e-6, None))
-        d = jnp.where((d > 0) & ~edge, d, -1.0)
-        ur = jnp.where(d > 0, xy[:, 0] - cam.bf / jnp.clip(d, 1e-6, None), -1.0)
-        feats = FeatureSet(xy, ur, feats_raw.octave, feats_raw.angle,
-                           feats_raw.desc, feats_raw.valid)
-
-        if have_vel:
-            R_pred, t_pred = se3.compose(vel_R, vel_t, last_R, last_t)
-            mm1 = track_motion_model(cam, m, prev, last_R, last_t, feats,
-                                     R_pred, t_pred, jnp.float32(7.0),
-                                     jnp.float32(width), jnp.float32(height),
-                                     desc_th)
-            mm2 = track_motion_model(cam, m, prev, last_R, last_t, feats,
-                                     R_pred, t_pred, jnp.float32(14.0),
-                                     jnp.float32(width), jnp.float32(height),
-                                     desc_th)
-            mm_ok1 = mm1.n_inliers >= 10
-            mm = jax.tree.map(
-                lambda a, b: jnp.where(mm_ok1, a, b), mm1, mm2)
-            mm_ok = mm.n_inliers >= 10
-        else:
-            mm = None
-        ref = track_reference_keyframe(cam, m, ref_kf, feats, last_R, last_t)
-        if have_vel:
-            res = jax.tree.map(lambda a, b: jnp.where(mm_ok, a, b), mm, ref)
-            used_mm = mm_ok.astype(jnp.int32)
-        else:
-            res = ref
-            used_mm = jnp.int32(0)
-        local_mask = local_landmark_mask(m, ref_kf)
-        res2, m = track_local_map(cam, m, feats, res.lm, res.R, res.t,
-                                  local_mask, jnp.float32(3.0), width, height,
-                                  desc_th_local)
-        # keyframe-decision statistics (reference: Tracking.cc:1140-1244)
-        from ..ops.patches import take_rows
-        ref_lm = m.kf_lm[ref_kf]
-        has_ref = (ref_lm >= 0) & m.kf_feat_valid[ref_kf]
-        lm_table = jnp.stack(
-            [jnp.sum((m.lm_obs_kf >= 0), axis=1).astype(jnp.float32),
-             m.lm_valid.astype(jnp.float32)], axis=1)  # [L, 2]
-        picked = take_rows(lm_table, jnp.clip(ref_lm, 0))
-        nobs = picked[:, 0].astype(jnp.int32)
-        ref_matches = jnp.sum(
-            (has_ref & (nobs >= min_obs)
-             & (picked[:, 1] > 0)).astype(jnp.int32))
-        close = (d > 0) & (d < th_depth)
-        tracked_close = jnp.sum((close & (res2.lm >= 0)).astype(jnp.int32))
-        non_tracked_close = jnp.sum((close & (res2.lm < 0)).astype(jnp.int32))
-        stats = jnp.stack([
-            (mm.n_inliers if have_vel else jnp.int32(0)), used_mm,
-            res.n_inliers, res2.n_inliers, ref_matches,
-            tracked_close * 10000 + non_tracked_close,
-        ]).astype(jnp.int32)
-        new_vel = se3.compose(res2.R, res2.t, *se3.inverse(last_R, last_t))
-        rel = se3.compose(res2.R, res2.t,
-                          *se3.inverse(m.kf_R[ref_kf], m.kf_t[ref_kf]))
-        return FrameStepResult(m, res2.R, res2.t, res2.lm, feats, d, stats,
-                               new_vel[0], new_vel[1], rel[0], rel[1])
+        feats, d = extract_rgbd_features(
+            extractor, cam, img, depth_map, depth_factor, width, height)
+        return track_frame_core(
+            cam, m, prev, last_R, last_t, vel_R, vel_t, have_vel, ref_kf,
+            feats, d, th_depth, desc_th, desc_th_local, min_obs,
+            width, height)
 
     return step
 

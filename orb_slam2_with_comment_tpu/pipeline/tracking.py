@@ -685,7 +685,8 @@ class Tracker:
             import jax as _jax
             key = _jax.random.PRNGKey(self.frame_count)
             res = pnp.solve_ransac(
-                key, K, Xw, obs.feats.xy, SIGMA2[obs.feats.octave], has,
+                key, K, Xw, obs.feats.xy,
+                jnp.asarray(SIGMA2)[obs.feats.octave], has,
                 max_iters=300)
             if int(res.n_inliers) < 10:
                 continue

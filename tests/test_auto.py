@@ -1,0 +1,156 @@
+"""Autonomous on-device tracker (pipeline.auto.AutoTracker).
+
+Verifies the zero-readback state machine reproduces the host-driven
+Tracker's behavior on a synthetic RGB-D sequence: device-side
+initialization gate, keyframe insertion via the on-device NeedNewKeyFrame
+rules, accurate steady-state poses, ring-buffer trajectory export, and
+lost-freeze semantics.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from orb_slam2_with_comment_tpu.dataio.synthetic import (
+    SyntheticWorld, orbit_trajectory)
+from orb_slam2_with_comment_tpu.mapstate.map import MapConfig
+from orb_slam2_with_comment_tpu.pipeline import (
+    AutoTracker, AutoTrackerConfig, TrackerConfig)
+
+
+def _cfg(k_max=12, traj=None):
+    return TrackerConfig(
+        n_features=1000, min_init_features=200,
+        map_cfg=MapConfig(k_max=k_max, n_feat=1000, l_max=6000, d_max=8),
+        fps=30, depth_factor=1.0 / 5000.0)
+
+
+def _frames(n):
+    world = SyntheticWorld(seed=1)
+    poses = orbit_trajectory(n_frames=n)
+    frames = [(np.clip(img, 0, 255).astype(np.uint8),
+               np.clip(depth * 5000.0, 0, 65535).astype(np.uint16))
+              for img, depth in (world.render(R, t) for R, t in poses)]
+    return frames, poses
+
+
+@pytest.fixture(scope="module")
+def tracked():
+    n = 20
+    frames, poses = _frames(n)
+    tr = AutoTracker(_cfg())
+    for img, depth in frames:
+        tr.process_rgbd(img, depth)
+    return tr.finalize(), poses, n
+
+
+def test_initializes_and_tracks(tracked):
+    out, poses, n = tracked
+    assert out["initialized"]
+    assert out["lost_at"] == -1
+    assert out["n_frames"] == n
+    assert out["valid"].all()
+
+
+def test_keyframes_inserted_on_device(tracked):
+    out, poses, n = tracked
+    # on-device NeedNewKeyFrame fired at least a few times over the orbit
+    assert 3 <= out["n_keyframes"] <= 12
+    # stats column 6 records insertions; first frame is the init keyframe
+    n_inserted = int(out["stats"][:, 6].sum())
+    assert n_inserted == out["n_keyframes"]
+
+
+def test_pose_accuracy_vs_ground_truth(tracked):
+    out, poses, n = tracked
+    errs = [np.linalg.norm(out["t"][i] - poses[i][1]) for i in range(n)]
+    assert np.median(errs) < 0.02, f"median t err {np.median(errs)}"
+    rot_errs = []
+    for i in range(n):
+        Rg = poses[i][0]
+        cosang = (np.trace(out["R"][i] @ Rg.T) - 1) / 2
+        rot_errs.append(np.degrees(np.arccos(np.clip(cosang, -1, 1))))
+    assert np.median(rot_errs) < 1.0, f"median rot err {np.median(rot_errs)}"
+
+
+def test_relative_chain_consistency(tracked):
+    """Rcr/tcr must satisfy Tcw = Tcr * Trw with the logged ref keyframe's
+    pose (reference: SaveTrajectoryTUM relative chain, System.cc:336-394).
+    The per-frame absolute pose here is logged at the same map version, so
+    the identity is exact up to float32."""
+    out, poses, n = tracked
+    # rebuild keyframe poses from the final map is not exported; instead
+    # check internal consistency between frames sharing a ref keyframe:
+    # Tc2w * Tc1w^-1 == Tc2r * Tc1r^-1 for equal ref.
+    for i in range(1, n):
+        if out["ref_kf"][i] != out["ref_kf"][i - 1]:
+            continue
+        R1, t1 = out["R"][i - 1], out["t"][i - 1]
+        R2, t2 = out["R"][i], out["t"][i]
+        rel_w = R2 @ R1.T
+        Rr1, tr1 = out["Rcr"][i - 1], out["tcr"][i - 1]
+        Rr2, tr2 = out["Rcr"][i], out["tcr"][i]
+        rel_r = Rr2 @ Rr1.T
+        assert np.allclose(rel_w, rel_r, atol=2e-3)
+
+
+def test_trajectory_tum_lines(tracked):
+    out, poses, n = tracked
+
+
+def test_tum_export_format():
+    n = 8
+    frames, poses = _frames(n)
+    tr = AutoTracker(_cfg())
+    for img, depth in frames:
+        tr.process_rgbd(img, depth)
+    lines = tr.trajectory_tum()
+    assert len(lines) >= n - 1
+    parts = lines[0].split()
+    assert len(parts) == 8
+    float(parts[0])  # timestamp parses
+
+
+def test_ring_buffer_wrap():
+    n = 12
+    frames, poses = _frames(n)
+    tr = AutoTracker(_cfg(), AutoTrackerConfig(traj_capacity=8))
+    for img, depth in frames:
+        tr.process_rgbd(img, depth)
+    out = tr.finalize()
+    # only the last 8 frames survive, in order
+    assert len(out["timestamps"]) == 8
+    assert out["n_frames"] == n
+    assert out["valid"].shape[0] == 8
+
+
+def test_no_init_on_black_frames():
+    cfg = _cfg()
+    tr = AutoTracker(cfg)
+    img = np.zeros((cfg.height, cfg.width), np.uint8)
+    depth = np.zeros((cfg.height, cfg.width), np.uint16)
+    for _ in range(3):
+        tr.process_rgbd(img, depth)
+    out = tr.finalize()
+    assert not out["initialized"]
+    assert out["n_keyframes"] == 0
+    assert not out["valid"].any()
+
+
+def test_lost_freezes_and_reports():
+    n = 10
+    frames, poses = _frames(n)
+    tr = AutoTracker(_cfg())
+    for img, depth in frames[:6]:
+        tr.process_rgbd(img, depth)
+    # feature-free frames: tracking must be lost, state frozen, no crash
+    img0 = np.zeros((480, 640), np.uint8)
+    d0 = np.zeros((480, 640), np.uint16)
+    for _ in range(3):
+        tr.process_rgbd(img0, d0)
+    out = tr.finalize()
+    assert out["initialized"]
+    assert out["lost_at"] == 6
+    assert out["valid"][:6].all()
+    assert not out["valid"][6:].any()
+    # keyframe count frozen after loss
+    assert out["n_keyframes"] <= 6
