@@ -4,7 +4,14 @@ missing from the reference fork, SURVEY.md §0.1.4; behavior follows
 upstream + README.md:151-167: associations loader -> System::TrackRGBD,
 then SaveTrajectoryTUM + SaveKeyFrameTrajectoryTUM).
 
-Usage: rgbd_tum.py <settings.yaml> <sequence_dir> [associations.txt]
+Usage: rgbd_tum.py <settings.yaml> <sequence_dir> [associations.txt] [--auto]
+
+--auto runs the autonomous on-device tracker (pipeline.auto.AutoTracker):
+the whole per-frame state machine incl. keyframe maintenance and loop
+closing executes on device with zero per-frame host synchronization —
+the recommended mode on remote-attached TPUs (~2x the host-driven rate).
+Per-frame poses are then not printed during the run; the trajectory is
+read back once at the end.
 """
 import sys
 import time
@@ -20,6 +27,10 @@ from orb_slam2_with_comment_tpu.dataio.settings import load_settings
 
 
 def main(argv):
+    argv = list(argv)
+    auto = "--auto" in argv
+    if auto:
+        argv.remove("--auto")
     if len(argv) < 3:
         print(__doc__)
         return 1
@@ -29,6 +40,28 @@ def main(argv):
     ds = TumRgbdDataset(seq_dir, depth_map_factor=s.depth_map_factor,
                         associations=assoc)
     print(f"Loaded {len(ds)} frames from {seq_dir}")
+    if auto:
+        from orb_slam2_with_comment_tpu.dataio.settings import (
+            load_tracker_config)
+        from orb_slam2_with_comment_tpu.pipeline import AutoTracker
+        cfg = load_tracker_config(settings_path)
+        cfg.sensor = "rgbd"
+        cfg.depth_factor = 1.0  # dataset loader already yields meters
+        tracker = AutoTracker(cfg)
+        t0 = time.perf_counter()
+        for ts, rgb, depth in ds.prefetch():
+            tracker.process_rgbd(rgb, depth, timestamp=ts)
+        tracker.sync()
+        dt = time.perf_counter() - t0
+        out = tracker.finalize()
+        print(f"{out['n_frames']} frames in {dt:.2f}s "
+              f"({out['n_frames'] / dt:.1f} fps), "
+              f"{out['n_keyframes']} keyframes, "
+              f"{out['n_loops_closed']} loops closed, "
+              f"lost_at={out['lost_at']}")
+        with open("CameraTrajectory.txt", "w") as f:
+            f.write("\n".join(tracker.trajectory_tum()) + "\n")
+        return 0
     slam = System(settings_path=settings_path, sensor=Sensor.RGBD)
     times = []
     for ts, rgb, depth in ds.prefetch():

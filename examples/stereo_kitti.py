@@ -1,7 +1,11 @@
 #!/usr/bin/env python
 """Stereo KITTI driver (reference: Examples/Stereo/stereo_kitti.cc).
 
-Usage: stereo_kitti.py <settings.yaml> <sequence_dir>
+Usage: stereo_kitti.py <settings.yaml> <sequence_dir> [--auto]
+
+--auto runs the autonomous on-device tracker (pipeline.auto.AutoTracker):
+joint L/R extraction, row-band stereo depth, keyframe maintenance and
+loop closing all on device with zero per-frame host synchronization.
 """
 import sys
 import time
@@ -16,12 +20,37 @@ from orb_slam2_with_comment_tpu.dataio.datasets import KittiDataset
 
 
 def main(argv):
+    argv = list(argv)
+    auto = "--auto" in argv
+    if auto:
+        argv.remove("--auto")
     if len(argv) < 3:
         print(__doc__)
         return 1
     settings_path, seq_dir = argv[1], argv[2]
     ds = KittiDataset(seq_dir, stereo=True)
     print(f"Loaded {len(ds)} frames from {seq_dir}")
+    if auto:
+        from orb_slam2_with_comment_tpu.dataio.settings import (
+            load_tracker_config)
+        from orb_slam2_with_comment_tpu.pipeline import AutoTracker
+        cfg = load_tracker_config(settings_path)
+        cfg.sensor = "stereo"
+        tracker = AutoTracker(cfg)
+        t0 = time.perf_counter()
+        for ts, left, right in ds:
+            tracker.process_stereo(left, right, timestamp=ts)
+        tracker.sync()
+        dt = time.perf_counter() - t0
+        out = tracker.finalize()
+        print(f"{out['n_frames']} frames in {dt:.2f}s "
+              f"({out['n_frames'] / dt:.1f} fps), "
+              f"{out['n_keyframes']} keyframes, "
+              f"{out['n_loops_closed']} loops closed, "
+              f"lost_at={out['lost_at']}")
+        with open("CameraTrajectory.txt", "w") as f:
+            f.write("\n".join(tracker.trajectory_tum()) + "\n")
+        return 0
     slam = System(settings_path=settings_path, sensor=Sensor.STEREO)
     times = []
     for ts, left, right in ds:

@@ -40,11 +40,14 @@ close-point accounting (Tracking.cc:1140-1244), lost when pose tracking
 <10 inliers or local map <30 (Tracking.cc:916,1119), depth landmarks
 close-or-100-nearest (Tracking.cc:1271-1324).
 
-Loop closing / relocalization: not in this mode yet — the host-driven
-Tracker remains the full-featured path (loop detection + Sim3 correction +
-pose-graph + reloc). A lost AutoTracker freezes (frames keep streaming,
+Loop closing runs on device too (pipeline.auto_loop): BoW detection with
+covisibility-consistency, Sim3 RANSAC + refinement, Sim3 propagation,
+essential-graph optimization and bounded global BA execute as conditional
+branches of the keyframe step, against the packaged offline-trained
+vocabulary (place.vocabulary.load_default_vocabulary). Relocalization is
+not in this mode yet: a lost AutoTracker freezes (frames keep streaming,
 poses marked invalid) and reports the lost frame at finalize(), where a
-host-driven recovery can take over.
+host-driven recovery (pipeline.tracking.Tracker) can take over.
 """
 from __future__ import annotations
 
@@ -61,7 +64,7 @@ from ..geometry import se3
 from ..mapstate.map import MapConfig, MapState, empty_map
 from ..matching.search import FeatureSet
 from .tracking import TrackerConfig
-from . import steps
+from . import auto_loop, steps
 
 
 class AutoState(NamedTuple):
@@ -80,6 +83,7 @@ class AutoState(NamedTuple):
     frame_idx: jax.Array  # [] int32 frames processed so far
     initialized: jax.Array  # [] bool
     lost: jax.Array  # [] int32 frame index where tracking was lost, -1 ok
+    loop: auto_loop.LoopCarry  # on-device loop-closing state
     # trajectory ring buffers [T, ...] (reference: mlRelativeFramePoses +
     # mlpReferences relative chain, Tracking.cc:562-579 — Rcr/tcr vs the
     # reference keyframe AS OF the frame, so later keyframe corrections
@@ -93,7 +97,8 @@ class AutoState(NamedTuple):
     traj_stats: jax.Array  # [T,8] int32 per-frame statistics
 
 
-def empty_auto_state(cfg: TrackerConfig, traj_capacity: int) -> AutoState:
+def empty_auto_state(cfg: TrackerConfig, traj_capacity: int,
+                     n_words: int) -> AutoState:
     N = cfg.n_features
     T = traj_capacity
     f32, i32 = jnp.float32, jnp.int32
@@ -103,6 +108,7 @@ def empty_auto_state(cfg: TrackerConfig, traj_capacity: int) -> AutoState:
                    jnp.zeros((N, 8), jnp.uint32), jnp.zeros((N,), bool)),
         jnp.full((N,), -1.0, f32), jnp.full((N,), -1, i32))
     return AutoState(
+        loop=auto_loop.empty_loop_carry(cfg.map_cfg.k_max, n_words),
         map=empty_map(cfg.map_cfg),
         prev=prev,
         last_R=jnp.eye(3, dtype=f32), last_t=jnp.zeros(3, f32),
@@ -122,8 +128,13 @@ def empty_auto_state(cfg: TrackerConfig, traj_capacity: int) -> AutoState:
 
 
 def build_auto_step(extractor: OrbExtractor, cfg: TrackerConfig,
-                    traj_capacity: int):
-    """One jitted program: AutoState x (img, raw depth) -> AutoState."""
+                    traj_capacity: int, voc=None,
+                    loop_closing: bool = True):
+    """One jitted program: AutoState x (img, raw depth) -> AutoState.
+
+    ``voc``: a numpy-backed Vocabulary (embedded as trace constants) for
+    the on-device loop closing; None or loop_closing=False disables the
+    loop-closing branch (tracking + mapping only)."""
     width, height = cfg.width, cfg.height
     k_max = cfg.map_cfg.k_max
     fps = float(cfg.fps)
@@ -134,6 +145,7 @@ def build_auto_step(extractor: OrbExtractor, cfg: TrackerConfig,
     th_depth = jnp.float32(cfg.depth_threshold)
     desc_th = jnp.int32(cfg.desc_th)
     desc_th_local = jnp.int32(cfg.desc_th_local)
+    do_loops = loop_closing and voc is not None
 
     def write_traj(s: AutoState, R, t, Rcr, tcr, ref, valid, stats8):
         i = jnp.mod(s.frame_idx, T)
@@ -200,39 +212,57 @@ def build_auto_step(extractor: OrbExtractor, cfg: TrackerConfig,
                    & (s.map.n_kf < k_max) & ~now_lost)
 
         def insert(args):
-            m, feats, dd, lm, R, t, fid = args
+            m, loop, feats, dd, lm, R, t, fid = args
             obs = steps.FrameObs(feats, dd, lm)
             kf = m.n_kf
             m = steps.keyframe_step(m, cam, obs, R, t, fid, th_depth,
                                     width, height)
-            return m, kf, m.kf_lm[kf]
+            if do_loops:
+                # on-device loop closing for the new keyframe (reference:
+                # LocalMapping feeds LoopClosing, LocalMapping.cc:102)
+                m, loop = auto_loop.close_loop_step(
+                    loop, m, cam, kf, voc,
+                    fix_scale=cfg.sensor != "mono")
+            return m, loop, kf, m.kf_lm[kf]
 
         def no_insert(args):
-            m, feats, dd, lm, R, t, fid = args
-            return m, jnp.int32(-1), lm
+            m, loop, feats, dd, lm, R, t, fid = args
+            return m, loop, jnp.int32(-1), lm
 
-        m2, new_kf, lm_after = jax.lax.cond(
+        m2, loop2, new_kf, lm_after = jax.lax.cond(
             need_kf, insert, no_insert,
-            (res.map, res.feats, res.depth, res.lm, res.R, res.t,
+            (res.map, s.loop, res.feats, res.depth, res.lm, res.R, res.t,
              s.frame_idx))
         inserted = new_kf >= 0
         ref_kf = jnp.where(inserted, new_kf, s.ref_kf)
         last_kf_frame = jnp.where(inserted, s.frame_idx, s.last_kf_frame)
         stats8 = jnp.concatenate([
             res.stats,
-            jnp.stack([inserted.astype(jnp.int32), jnp.int32(0)])])
+            jnp.stack([inserted.astype(jnp.int32),
+                       loop2.n_loops.astype(jnp.int32)])])
 
         def apply_ok(s):
             # res.Rcr/tcr are relative to the PRE-insert reference keyframe
             old_ref = s.ref_kf
+            # a closed loop rewrites keyframe poses; loops fire only on
+            # keyframe insertion, so the corrected current pose is the new
+            # keyframe's map row. Re-anchoring here makes the next frame's
+            # tracking chain from the corrected world (reference: Tracking
+            # resumes from the corrected map after CorrectLoop releases the
+            # map mutex, Tracking.cc:301). Velocity is reset — it related
+            # two pre-correction poses.
+            loop_fired = loop2.n_loops > s.loop.n_loops
+            safe_kf = jnp.where(inserted, new_kf, 0)
+            R_new = jnp.where(loop_fired, m2.kf_R[safe_kf], res.R)
+            t_new = jnp.where(loop_fired, m2.kf_t[safe_kf], res.t)
             s = s._replace(
-                map=m2,
+                map=m2, loop=loop2,
                 prev=steps.FrameObs(res.feats, res.depth, lm_after),
-                last_R=res.R, last_t=res.t,
+                last_R=R_new, last_t=t_new,
                 vel_R=res.vel_R, vel_t=res.vel_t,
-                have_vel=jnp.asarray(True),
+                have_vel=jnp.asarray(~loop_fired),
                 ref_kf=ref_kf, last_kf_frame=last_kf_frame)
-            return write_traj(s, res.R, res.t, res.Rcr, res.tcr, old_ref,
+            return write_traj(s, R_new, t_new, res.Rcr, res.tcr, old_ref,
                               jnp.asarray(True), stats8)
 
         def apply_lost(s):
@@ -244,11 +274,7 @@ def build_auto_step(extractor: OrbExtractor, cfg: TrackerConfig,
 
         return jax.lax.cond(now_lost, apply_lost, apply_ok, s)
 
-    @partial(jax.jit, donate_argnums=(0,))
-    def auto_step(s: AutoState, img, depth_raw) -> AutoState:
-        feats, d = steps.extract_rgbd_features(
-            extractor, cam, img, depth_raw, depth_factor, width, height)
-
+    def run_frame(s: AutoState, feats, d) -> AutoState:
         def when_alive(s):
             return jax.lax.cond(
                 s.initialized,
@@ -264,6 +290,26 @@ def build_auto_step(extractor: OrbExtractor, cfg: TrackerConfig,
         s = jax.lax.cond(s.lost >= 0, when_lost, when_alive, s)
         return s._replace(frame_idx=s.frame_idx + 1)
 
+    @partial(jax.jit, donate_argnums=(0,))
+    def auto_step(s: AutoState, img, depth_raw) -> AutoState:
+        feats, d = steps.extract_rgbd_features(
+            extractor, cam, img, depth_raw, depth_factor, width, height)
+        return run_frame(s, feats, d)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def auto_step_stereo(s: AutoState, img_l, img_r) -> AutoState:
+        """Stereo variant: joint L/R extraction + row-band depth
+        association (reference: Frame stereo ctor Frame.cc:61-117 +
+        ComputeStereoMatches Frame.cc:501-675) feeding the same on-device
+        state machine."""
+        feats_l, sd = extractor._extract_stereo(
+            img_l.astype(jnp.float32), img_r.astype(jnp.float32),
+            cam.bf, cam.fx)
+        feats = FeatureSet(feats_l.xy, sd.u_right, feats_l.octave,
+                           feats_l.angle, feats_l.desc, feats_l.valid)
+        return run_frame(s, feats, sd.depth)
+
+    auto_step.stereo = auto_step_stereo
     return auto_step
 
 
@@ -271,6 +317,7 @@ def build_auto_step(extractor: OrbExtractor, cfg: TrackerConfig,
 class AutoTrackerConfig:
     """Extra knobs of the autonomous mode."""
     traj_capacity: int = 4096  # trajectory ring size (frames)
+    loop_closing: bool = True  # on-device loop closing (auto_loop)
 
 
 class AutoTracker:
@@ -295,15 +342,36 @@ class AutoTracker:
         self.cfg = cfg
         self.auto_cfg = auto_cfg or AutoTrackerConfig()
         self.extractor = OrbExtractor(n_features=cfg.n_features)
+        # numpy-backed vocabulary: embedded as trace-time constants (a
+        # captured DEVICE vocabulary would trip the transport degradation;
+        # see module docstring)
+        voc = None
+        if self.auto_cfg.loop_closing:
+            from ..place.vocabulary import load_default_vocabulary
+            voc = load_default_vocabulary(as_numpy=True)
+        self.voc = voc
         self._step = build_auto_step(self.extractor, cfg,
-                                     self.auto_cfg.traj_capacity)
-        self.state = empty_auto_state(cfg, self.auto_cfg.traj_capacity)
+                                     self.auto_cfg.traj_capacity, voc=voc,
+                                     loop_closing=self.auto_cfg.loop_closing)
+        self.state = empty_auto_state(
+            cfg, self.auto_cfg.traj_capacity,
+            voc.n_words if voc is not None else 1)
         self.frame_count = 0
         self.timestamps: list[float] = []
 
     def process_rgbd(self, img, depth, timestamp: float | None = None):
         """Track one frame: one device dispatch, zero synchronization."""
         self.state = self._step(self.state, img, depth)
+        self.timestamps.append(
+            self.frame_count / self.cfg.fps if timestamp is None
+            else timestamp)
+        self.frame_count += 1
+
+    def process_stereo(self, img_left, img_right,
+                       timestamp: float | None = None):
+        """Track one rectified stereo pair (reference: System::TrackStereo
+        System.cc:169): one device dispatch, zero synchronization."""
+        self.state = self._step.stereo(self.state, img_left, img_right)
         self.timestamps.append(
             self.frame_count / self.cfg.fps if timestamp is None
             else timestamp)
@@ -322,8 +390,10 @@ class AutoTracker:
         n = self.frame_count
         host = jax.device_get(
             (s.traj_R, s.traj_t, s.traj_Rcr, s.traj_tcr, s.traj_ref,
-             s.traj_valid, s.traj_stats, s.lost, s.initialized, s.map.n_kf))
-        (R, t, Rcr, tcr, ref, valid, stats, lost, initialized, n_kf) = host
+             s.traj_valid, s.traj_stats, s.lost, s.initialized, s.map.n_kf,
+             s.loop.n_loops))
+        (R, t, Rcr, tcr, ref, valid, stats, lost, initialized, n_kf,
+         n_loops) = host
         if n <= T:
             order = np.arange(n)
         else:  # ring wrapped: oldest surviving frame first
@@ -336,6 +406,7 @@ class AutoTracker:
             "timestamps": np.asarray(self.timestamps[-len(order):]),
             "lost_at": int(lost), "initialized": bool(initialized),
             "n_keyframes": int(n_kf), "n_frames": n,
+            "n_loops_closed": int(n_loops),
         }
 
     def trajectory_tum(self) -> list[str]:

@@ -1,0 +1,274 @@
+"""On-device loop closing for the autonomous tracker.
+
+The host-driven LoopCloser (pipeline.loop_closing) re-expresses the
+reference's LoopClosing thread as a host sequencer: detection scores are
+read back, consistency groups are Python sets, Sim3 gates are host ints,
+and the essential-graph edge list is built with numpy. Those readbacks are
+exactly what the autonomous tracker must not do (pipeline/auto.py
+docstring), so this module re-expresses the ENTIRE loop-closing pass —
+BoW detection, covisibility-consistency confirmation, Sim3 RANSAC +
+refinement, Sim3 propagation, essential-graph optimization and bounded
+global BA — as pure array transforms with static shapes, runnable inside
+the keyframe branch of the autonomous per-frame step.
+
+Reference semantics preserved (SURVEY §2.6 "Loop closing"):
+- >=10 keyframes since the last loop (LoopClosing.cc:116);
+- candidate score >= min covisible-BoW score of the current keyframe
+  (LoopClosing.cc:126-140);
+- group-score accumulation over each candidate's top-10 covisibility
+  group, keep > 0.75 * best (KeyFrameDatabase.cc:151-176);
+- covisibility-consistency across 3 consecutive keyframes
+  (LoopClosing.cc:43,164-244) — previous candidate groups become a fixed
+  [C_MAX, K] boolean matrix + chain counters in the device carry;
+- Sim3: >=20 BoW matches per candidate, RANSAC (P=0.99 via 300 batched
+  hypotheses, 3-pt Horn, two-sided chi2) >=20 inliers, refine >=20
+  (LoopClosing.cc:333,342,408);
+- correction (CorrectLoop :509-719): Sim3 propagation over the current
+  covisibility group, landmark correction, essential-graph optimization
+  (loop keyframe fixed, Optimizer.cc:891), bounded-iteration global BA
+  (the reference's asynchronous GBA thread, SURVEY §2.5 P3/P6).
+
+The vocabulary is the packaged offline-trained tree
+(place.vocabulary.load_default_vocabulary — our ORBvoc.txt counterpart),
+kept as HOST numpy arrays so traced code embeds it as constants (dynamic
+gathers on captured device buffers degrade the remote transport;
+matching/search.py table comment).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..geometry import se3, sim3
+from ..mapstate.map import (MapState, covisibility_matrix,
+                            covisibility_weights, rebuild_observations)
+from ..matching import search as msearch
+from ..ops import prims
+from ..optim import ba, pose_graph, sim3_opt
+from ..place import vocabulary as V
+from ..solvers import sim3solver
+
+C_MAX = 4  # candidate groups tracked for consistency
+CONSISTENCY_TH = 3  # reference mnCovisibilityConsistencyTh
+MIN_GAP = 10  # keyframes between loops (reference LoopClosing.cc:116)
+
+
+class LoopCarry(NamedTuple):
+    """Device-resident loop-closing state (part of AutoState)."""
+    bow: jax.Array  # [K, W] per-keyframe tf-idf rows (zeros = empty)
+    prev_groups: jax.Array  # [C_MAX, K] bool: last KF's candidate groups
+    prev_counts: jax.Array  # [C_MAX] int32 consistency chain lengths
+    last_loop_kf: jax.Array  # [] int32 keyframe slot of last closed loop
+    n_loops: jax.Array  # [] int32
+    key: jax.Array  # PRNG key for Sim3 RANSAC
+
+
+def empty_loop_carry(k_max: int, n_words: int) -> LoopCarry:
+    return LoopCarry(
+        bow=jnp.zeros((k_max, n_words), jnp.float32),
+        prev_groups=jnp.zeros((C_MAX, k_max), bool),
+        prev_counts=jnp.zeros(C_MAX, jnp.int32),
+        last_loop_kf=jnp.int32(-MIN_GAP),
+        n_loops=jnp.int32(0),
+        key=jax.random.PRNGKey(7),
+    )
+
+
+def add_keyframe_bow(loop: LoopCarry, voc, kf, desc, valid) -> LoopCarry:
+    """Compute and store the new keyframe's BoW row (reference:
+    KeyFrame::ComputeBoW + KeyFrameDatabase::add)."""
+    words = V.transform(voc, desc, valid)
+    row = V.bow_vectors(voc, words, valid)
+    return loop._replace(bow=loop.bow.at[kf].set(row))
+
+
+def detect(loop: LoopCarry, m: MapState, kf) -> tuple[jax.Array, LoopCarry]:
+    """DetectLoop on device. Returns (candidate slot or -1, new carry)."""
+    K = loop.bow.shape[0]
+    ids = jnp.arange(K, dtype=jnp.int32)
+    W_cov = covisibility_matrix(m)  # [K, K]
+    covis_row = W_cov[kf] > 0
+    s = V.score_l1(loop.bow[kf], loop.bow)  # [K]
+    live = m.kf_valid & (ids != kf) & (ids < m.n_kf)
+    # min score over the current keyframe's covisible keyframes
+    # (reference LoopClosing.cc:126-140); 0.5 guard when none.
+    covis_scores = jnp.where(covis_row & live, s, jnp.inf)
+    has_covis = jnp.any(covis_row & live)
+    min_score = jnp.where(has_covis, jnp.min(covis_scores), 0.5)
+    min_score = jnp.maximum(min_score, 0.0)
+    gated = live & ~covis_row & (s >= min_score)
+    s_gated = jnp.where(gated, s, -1.0)
+    # group-score accumulation over top-10 covisibility neighbors
+    # (KeyFrameDatabase.cc:151-176)
+    top_w, top_i = prims.sort_top_k(W_cov, 10)  # [K, 10] per candidate
+    grp_scores = jnp.where((top_w > 0) & (s_gated[top_i] > 0),
+                           s_gated[top_i], 0.0)
+    acc = jnp.sum(grp_scores, axis=1) + jnp.maximum(s_gated, 0.0)
+    acc = jnp.where(gated, acc, -1.0)
+    best_acc = jnp.max(acc)
+    keep = gated & (acc > 0.75 * best_acc)
+    s_keep = jnp.where(keep, s, -1.0)
+    # top-C candidates by raw score
+    cand_s, cand_i = prims.sort_top_k(s_keep, C_MAX)
+    cand_ok = cand_s > 0
+    cand_i = cand_i.astype(jnp.int32)
+    # consistency groups: candidate's covisibility group as boolean rows
+    onehot = cand_i[:, None] == ids[None, :]
+    groups = ((W_cov[cand_i] > 0) | onehot) & cand_ok[:, None]  # [C, K]
+    inter = jnp.any(groups[:, None, :] & loop.prev_groups[None, :, :],
+                    axis=2)  # [C, C]
+    counts = jnp.max(jnp.where(inter, loop.prev_counts[None, :] + 1, 0),
+                     axis=1)  # [C]
+    accepted = cand_ok & (counts + 1 >= CONSISTENCY_TH)
+    # gap gate (>=10 keyframes since last loop) — also clears groups
+    gap_ok = (kf - loop.last_loop_kf) >= MIN_GAP
+    accepted = accepted & gap_ok
+    # earliest accepted candidate (they are score-ordered)
+    first = jnp.argmax(accepted.astype(jnp.int32))
+    cand = jnp.where(jnp.any(accepted), cand_i[first], jnp.int32(-1))
+    loop = loop._replace(
+        prev_groups=jnp.where(gap_ok, groups, jnp.zeros_like(groups)),
+        prev_counts=jnp.where(gap_ok, counts, jnp.zeros_like(counts)),
+    )
+    return cand, loop
+
+
+def _sim3_solve(loop: LoopCarry, m: MapState, cam, kf, cand, fix_scale: bool):
+    """ComputeSim3 on device: BoW-free brute Hamming match between the two
+    keyframes' landmark features, batched Horn RANSAC, Sim3 refinement.
+    Returns (ok, R12, t12, s12, new_key)."""
+    lm1 = m.kf_lm[kf]
+    lm2 = m.kf_lm[cand]
+    has1 = (lm1 >= 0) & m.kf_feat_valid[kf] & m.lm_valid[jnp.clip(lm1, 0)]
+    has2 = (lm2 >= 0) & m.kf_feat_valid[cand] & m.lm_valid[jnp.clip(lm2, 0)]
+    idx, dist, matched = msearch.search_brute(
+        m.kf_desc[kf], m.kf_desc[cand], has1, has2, ratio=0.75,
+        angle_q=m.kf_angle[kf], angle_t=m.kf_angle[cand])
+    n_matches = jnp.sum(matched.astype(jnp.int32))
+    safe_idx = jnp.where(matched, idx, 0)
+    l1 = jnp.clip(lm1, 0)
+    l2 = jnp.clip(m.kf_lm[cand][safe_idx], 0)
+    X1c = se3.transform(m.kf_R[kf], m.kf_t[kf], m.lm_pw[l1])
+    X2c = se3.transform(m.kf_R[cand], m.kf_t[cand], m.lm_pw[l2])
+    uv1 = m.kf_xy[kf]
+    uv2 = m.kf_xy[cand][safe_idx]
+    s2_1 = msearch.sigma2_at(m.kf_octave[kf])
+    s2_2 = msearch.sigma2_at(m.kf_octave[cand][safe_idx])
+    valid = matched & has1
+    K_cam = (cam.fx, cam.fy, cam.cx, cam.cy)
+    key, sub = jax.random.split(loop.key)
+    res = sim3solver.solve_ransac(
+        sub, K_cam, K_cam, X1c, X2c, uv1, uv2, s2_1, s2_2, valid,
+        max_iters=300, min_inliers=20, fix_scale=fix_scale)
+    ref = sim3_opt.optimize_sim3(
+        K_cam, K_cam, res.R, res.t, res.s, X1c, X2c, uv1, uv2,
+        1.0 / s2_1, 1.0 / s2_2, res.inliers, iters=10, fix_scale=fix_scale)
+    ok = ((n_matches >= 20) & (res.n_inliers >= 20)
+          & (ref.n_inliers >= 20))  # reference :333,408
+    return ok, ref.R, ref.t, ref.s, key
+
+
+def _correct(m: MapState, cam, kf, cand, R12, t12, s12,
+             fix_scale: bool) -> MapState:
+    """CorrectLoop on device: Sim3 propagation over the current
+    covisibility group, landmark correction, essential-graph optimization
+    with static masked all-pairs edges, bounded global BA."""
+    K = m.kf_R.shape[0]
+    # corrected current pose: S_cur_w = S12 o T_cand_w
+    Rc, tc, sc = sim3.compose(R12, t12, s12,
+                              m.kf_R[cand], m.kf_t[cand], jnp.ones(()))
+    # world correction G = S_cur_w_corr^-1 o T_cur_w (old world -> new)
+    Rg, tg, sg = sim3.compose(*sim3.inverse(Rc, tc, sc),
+                              m.kf_R[kf], m.kf_t[kf], jnp.ones(()))
+    Rgi, tgi, sgi = sim3.inverse(Rg, tg, sg)
+    w = covisibility_weights(m, kf)
+    gm = (w > 0) | (jnp.arange(K) == kf)
+    Ri, ti, si = sim3.compose(
+        m.kf_R, m.kf_t, jnp.ones(K),
+        jnp.broadcast_to(Rgi, (K, 3, 3)), jnp.broadcast_to(tgi, (K, 3)),
+        jnp.broadcast_to(sgi, (K,)))
+    kf_R = jnp.where(gm[:, None, None], Ri, m.kf_R)
+    kf_t = jnp.where(gm[:, None], ti / jnp.clip(si, 1e-9, None)[:, None],
+                     m.kf_t)
+    lm_ref_in_group = gm[jnp.clip(m.lm_ref_kf, 0, K - 1)] & m.lm_valid
+    pw_corr = sim3.transform(Rg, tg, sg, m.lm_pw)
+    lm_pw = jnp.where(lm_ref_in_group[:, None], pw_corr, m.lm_pw)
+    m = m._replace(kf_R=kf_R, kf_t=kf_t, lm_pw=lm_pw)
+
+    # --- essential graph: static all-pairs edges masked by weight >= 15,
+    # plus the loop edge; loop keyframe + gauge keyframe fixed ---
+    W_cov = covisibility_matrix(m)
+    iu, ju = np.triu_indices(K, k=1)
+    e_i = jnp.asarray(iu, jnp.int32)
+    e_j = jnp.asarray(ju, jnp.int32)
+    w_e = W_cov[e_i, e_j]
+    is_loop_edge = (((e_i == jnp.minimum(kf, cand))
+                     & (e_j == jnp.maximum(kf, cand))))
+    e_valid = ((w_e >= 15) | is_loop_edge) & m.kf_valid[e_i] & m.kf_valid[e_j]
+    Ri_, ti_ = m.kf_R[e_i], m.kf_t[e_i]
+    Rj_, tj_ = m.kf_R[e_j], m.kf_t[e_j]
+    iRi, iti = se3.inverse(Ri_, ti_)
+    mR, mt = se3.compose(Rj_, tj_, iRi, iti)
+    fixed = (jnp.zeros(K, bool).at[0].set(True)
+             .at[cand].set(True) | ~m.kf_valid)
+    prob = pose_graph.PoseGraphProblem(
+        m.kf_R, m.kf_t, jnp.ones(K), e_i, e_j, mR, mt,
+        jnp.ones(e_i.shape[0]), e_valid, fixed)
+    res = pose_graph.optimize_pose_graph(prob, iters=20,
+                                         fix_scale=fix_scale)
+    ref_kf_ = jnp.clip(m.lm_ref_kf, 0, K - 1)
+    R_old, t_old = m.kf_R[ref_kf_], m.kf_t[ref_kf_]
+    R_new = res.R[ref_kf_]
+    t_new = res.t[ref_kf_] / jnp.clip(res.s[ref_kf_], 1e-9, None)[:, None]
+    Xc = se3.transform(R_old, t_old, m.lm_pw)
+    iRn, itn = se3.inverse(R_new, t_new)
+    pw = se3.transform(iRn, itn, Xc)
+    lm_pw = jnp.where(m.lm_valid[:, None], pw, m.lm_pw)
+    kf_t_new = res.t / jnp.clip(res.s, 1e-9, None)[:, None]
+    m = m._replace(kf_R=res.R, kf_t=kf_t_new, lm_pw=lm_pw)
+
+    # --- bounded global BA (reference: GBA 10 iters, LoopClosing.cc:795) ---
+    obs_valid = m.lm_obs_kf >= 0
+    kf_idx = jnp.clip(m.lm_obs_kf, 0)
+    feat_idx = m.lm_obs_feat
+    uv = m.kf_xy[kf_idx, feat_idx]
+    ur = m.kf_ur[kf_idx, feat_idx]
+    uvr = jnp.concatenate([uv, ur[..., None]], axis=-1)
+    octv = m.kf_octave[kf_idx, feat_idx]
+    wgt = jnp.where(obs_valid & m.lm_valid[:, None],
+                    msearch.inv_sigma2_at(octv), 0.0)
+    fixed_ba = jnp.zeros(K, bool).at[0].set(True) | ~m.kf_valid
+    prob_ba = ba.BAProblem(m.kf_R, m.kf_t, m.lm_pw, kf_idx, uvr, wgt,
+                           fixed_ba, m.lm_valid)
+    res_ba = ba.ba_solve(cam, prob_ba, iters=10, robust=True)
+    m = m._replace(kf_R=res_ba.R, kf_t=res_ba.t, lm_pw=res_ba.X)
+    return rebuild_observations(m)
+
+
+def close_loop_step(loop: LoopCarry, m: MapState, cam, kf, voc,
+                    fix_scale: bool) -> tuple[MapState, LoopCarry]:
+    """Full loop-closing pass for a freshly inserted keyframe ``kf``:
+    BoW row -> detection -> consistency -> (cond) Sim3 -> (cond) correction.
+    Pure; intended to run inside the keyframe branch of the autonomous
+    step. The untaken Sim3/correction branches cost nothing at runtime."""
+    loop = add_keyframe_bow(loop, voc, kf, m.kf_desc[kf], m.kf_feat_valid[kf])
+    cand, loop = detect(loop, m, kf)
+
+    def try_sim3(args):
+        m, loop = args
+        ok, R12, t12, s12, key = _sim3_solve(
+            loop, m, cam, kf, cand, fix_scale)
+        loop = loop._replace(key=key)
+
+        def do_correct(args):
+            m, loop = args
+            m = _correct(m, cam, kf, cand, R12, t12, s12, fix_scale)
+            return m, loop._replace(
+                last_loop_kf=kf, n_loops=loop.n_loops + 1)
+
+        return jax.lax.cond(ok, do_correct, lambda a: a, (m, loop))
+
+    return jax.lax.cond(cand >= 0, try_sim3, lambda a: a, (m, loop))

@@ -106,14 +106,57 @@ def train_vocabulary(descs: np.ndarray, k: int = 10, levels: int = 3,
     )
 
 
+def save_vocabulary(voc: Vocabulary, path: str) -> None:
+    """Persist a trained vocabulary as flat arrays (npz)."""
+    np.savez_compressed(
+        path if path.endswith(".npz") else path + ".npz",
+        node_desc=np.asarray(voc.node_desc), children=np.asarray(voc.children),
+        leaf_word=np.asarray(voc.leaf_word),
+        word_weight=np.asarray(voc.word_weight),
+        k=voc.k, levels=voc.levels, n_words=voc.n_words)
+
+
+def load_vocabulary(path: str, as_numpy: bool = False) -> Vocabulary:
+    """Load a vocabulary saved by save_vocabulary.
+
+    as_numpy=True keeps the arrays host-side (numpy): traced code then
+    embeds them as compile-time constants. Use this whenever the
+    vocabulary is CLOSED OVER by a jitted program — dynamic gathers on
+    captured device buffers degrade the remote transport (see
+    matching/search.py table comment); gathers on embedded constants or
+    explicit arguments are safe.
+    """
+    z = np.load(path)
+    conv = (lambda a: np.asarray(a)) if as_numpy else jnp.asarray
+    return Vocabulary(
+        conv(z["node_desc"]), conv(z["children"]), conv(z["leaf_word"]),
+        conv(z["word_weight"]), int(z["k"]), int(z["levels"]),
+        int(z["n_words"]))
+
+
+def load_default_vocabulary(as_numpy: bool = False) -> Vocabulary:
+    """The packaged default vocabulary (our ORBvoc.txt counterpart,
+    trained offline by scripts/train_vocab.py; reference: Vocabulary/
+    ORBvoc.txt loaded at System startup, System.cc:71)."""
+    import os
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "data", "vocab_default.npz")
+    return load_vocabulary(path, as_numpy=as_numpy)
+
+
 def transform(voc: Vocabulary, desc: jax.Array, valid: jax.Array) -> jax.Array:
     """Descend the tree: [N, 8] descriptors -> [N] word ids (-1 invalid)."""
     N = desc.shape[0]
     node = jnp.zeros(N, jnp.int32)
+    # jnp.asarray: numpy-backed vocabularies (load_vocabulary(as_numpy=True))
+    # become compile-time constants here; device-backed ones pass through.
+    children = jnp.asarray(voc.children)
+    node_desc = jnp.asarray(voc.node_desc)
+    leaf_word = jnp.asarray(voc.leaf_word)
 
     def body(_, node):
-        ch = voc.children[node]  # [N, k]
-        ch_desc = voc.node_desc[jnp.clip(ch, 0)]  # [N, k, 8]
+        ch = children[node]  # [N, k]
+        ch_desc = node_desc[jnp.clip(ch, 0)]  # [N, k, 8]
         d = hamming_pair(desc[:, None, :], ch_desc)  # [N, k]
         d = jnp.where(ch >= 0, d, 10_000)
         best = jnp.argmin(d, axis=1)
@@ -122,7 +165,7 @@ def transform(voc: Vocabulary, desc: jax.Array, valid: jax.Array) -> jax.Array:
         return jnp.where(nxt >= 0, nxt, node)
 
     node = jax.lax.fori_loop(0, voc.levels, body, node)
-    word = voc.leaf_word[node]
+    word = leaf_word[node]
     return jnp.where(valid, word, -1)
 
 
@@ -132,7 +175,7 @@ def bow_vectors(voc: Vocabulary, words: jax.Array, valid: jax.Array) -> jax.Arra
     ok = valid & (words >= 0)
     onehot = jax.nn.one_hot(jnp.where(ok, words, W), W + 1, dtype=jnp.float32)
     tf = jnp.sum(onehot, axis=-2)[..., :W]
-    v = tf * voc.word_weight
+    v = tf * jnp.asarray(voc.word_weight)
     return v / jnp.clip(jnp.sum(jnp.abs(v), axis=-1, keepdims=True), 1e-9, None)
 
 

@@ -136,6 +136,33 @@ def test_no_init_on_black_frames():
     assert not out["valid"].any()
 
 
+def test_stereo_auto_tracks():
+    """Autonomous stereo path: joint L/R extraction + row-band depth
+    feeding the same on-device state machine."""
+    FX, BF = 500.0, 40.0
+    baseline = BF / FX
+    n = 10
+    world = SyntheticWorld(seed=1)
+    poses = orbit_trajectory(n_frames=n)
+    cfg = TrackerConfig(
+        sensor="stereo", n_features=1000, min_init_features=200,
+        bf=BF, fx=FX,
+        map_cfg=MapConfig(k_max=12, n_feat=1000, l_max=6000, d_max=8),
+        fps=30)
+    tr = AutoTracker(cfg, AutoTrackerConfig(loop_closing=False))
+    for R, t in poses:
+        img_l, _ = world.render(R, t)
+        t_r = np.asarray(t, np.float32) - np.array([baseline, 0, 0],
+                                                   np.float32)
+        img_r, _ = world.render(R, t_r)
+        tr.process_stereo(np.clip(img_l, 0, 255).astype(np.uint8),
+                          np.clip(img_r, 0, 255).astype(np.uint8))
+    out = tr.finalize()
+    assert out["initialized"] and out["lost_at"] == -1
+    errs = [np.linalg.norm(out["t"][i] - poses[i][1]) for i in range(n)]
+    assert np.median(errs) < 0.03, f"median stereo t err {np.median(errs)}"
+
+
 def test_lost_freezes_and_reports():
     n = 10
     frames, poses = _frames(n)
