@@ -44,10 +44,11 @@ Loop closing runs on device too (pipeline.auto_loop): BoW detection with
 covisibility-consistency, Sim3 RANSAC + refinement, Sim3 propagation,
 essential-graph optimization and bounded global BA execute as conditional
 branches of the keyframe step, against the packaged offline-trained
-vocabulary (place.vocabulary.load_default_vocabulary). Relocalization is
-not in this mode yet: a lost AutoTracker freezes (frames keep streaming,
-poses marked invalid) and reports the lost frame at finalize(), where a
-host-driven recovery (pipeline.tracking.Tracker) can take over.
+vocabulary (place.vocabulary.load_default_vocabulary). Relocalization too
+(reference: Tracking.cc:1582-1778): while lost, each frame attempts BoW
+candidate retrieval -> EPnP RANSAC -> pose optimization -> local-map
+refill entirely on device, resuming tracking at >=50 inliers; frames
+remain marked invalid until recovery, visible in finalize().
 """
 from __future__ import annotations
 
@@ -84,6 +85,9 @@ class AutoState(NamedTuple):
     initialized: jax.Array  # [] bool
     lost: jax.Array  # [] int32 frame index where tracking was lost, -1 ok
     loop: auto_loop.LoopCarry  # on-device loop-closing state
+    # monocular two-view bootstrap: frame index of the stored reference
+    # frame (-1 = none; the reference bundle itself lives in `prev`)
+    init_frame_id: jax.Array  # [] int32
     # trajectory ring buffers [T, ...] (reference: mlRelativeFramePoses +
     # mlpReferences relative chain, Tracking.cc:562-579 — Rcr/tcr vs the
     # reference keyframe AS OF the frame, so later keyframe corrections
@@ -117,6 +121,7 @@ def empty_auto_state(cfg: TrackerConfig, traj_capacity: int,
         ref_kf=jnp.int32(0), last_kf_frame=jnp.int32(-1),
         frame_idx=jnp.int32(0),
         initialized=jnp.asarray(False), lost=jnp.int32(-1),
+        init_frame_id=jnp.int32(-1),
         traj_R=jnp.tile(jnp.eye(3, dtype=f32), (T, 1, 1)),
         traj_t=jnp.zeros((T, 3), f32),
         traj_Rcr=jnp.tile(jnp.eye(3, dtype=f32), (T, 1, 1)),
@@ -145,7 +150,8 @@ def build_auto_step(extractor: OrbExtractor, cfg: TrackerConfig,
     th_depth = jnp.float32(cfg.depth_threshold)
     desc_th = jnp.int32(cfg.desc_th)
     desc_th_local = jnp.int32(cfg.desc_th_local)
-    do_loops = loop_closing and voc is not None
+    has_voc = voc is not None  # BoW bookkeeping + relocalization
+    do_loops = loop_closing and has_voc
 
     def write_traj(s: AutoState, R, t, Rcr, tcr, ref, valid, stats8):
         i = jnp.mod(s.frame_idx, T)
@@ -172,8 +178,12 @@ def build_auto_step(extractor: OrbExtractor, cfg: TrackerConfig,
             m = steps.insert_keyframe(s.map, cam, obs, R, t, s.frame_idx)
             m = steps.create_depth_landmarks(m, cam, jnp.int32(0),
                                              jnp.float32(1e9))
+            loop = s.loop
+            if has_voc:
+                loop = auto_loop.add_keyframe_bow(
+                    loop, voc, jnp.int32(0), m.kf_desc[0], m.kf_feat_valid[0])
             s = s._replace(
-                map=m,
+                map=m, loop=loop,
                 prev=steps.FrameObs(feats, d, m.kf_lm[0]),
                 last_R=R, last_t=t,
                 have_vel=jnp.asarray(False),
@@ -201,8 +211,13 @@ def build_auto_step(extractor: OrbExtractor, cfg: TrackerConfig,
         tracked_close = close_pack // 10000
         non_tracked_close = jnp.mod(close_pack, 10000)
         frames_since = s.frame_idx - s.last_kf_frame
-        need_close = (tracked_close < 100) & (non_tracked_close > 70)
-        th_ref = jnp.where(s.map.n_kf < 2, 0.4, 0.75)
+        if cfg.sensor == "mono":
+            # mono: no close-point rule, thRefRatio = 0.9 (Tracking.cc:1205)
+            need_close = jnp.asarray(False)
+            th_ref = jnp.float32(0.9)
+        else:
+            need_close = (tracked_close < 100) & (non_tracked_close > 70)
+            th_ref = jnp.where(s.map.n_kf < 2, 0.4, 0.75)
         c1a = frames_since >= fps
         c1b = frames_since >= 3  # emulated mapping-thread duty cycle
         c1c = (local_in < ref_matches * 0.25) | need_close
@@ -215,14 +230,22 @@ def build_auto_step(extractor: OrbExtractor, cfg: TrackerConfig,
             m, loop, feats, dd, lm, R, t, fid = args
             obs = steps.FrameObs(feats, dd, lm)
             kf = m.n_kf
-            m = steps.keyframe_step(m, cam, obs, R, t, fid, th_depth,
-                                    width, height)
+            if cfg.sensor == "mono":
+                m = steps.keyframe_step_mono(m, cam, obs, R, t, fid,
+                                             width, height)
+            else:
+                m = steps.keyframe_step(m, cam, obs, R, t, fid, th_depth,
+                                        width, height)
             if do_loops:
                 # on-device loop closing for the new keyframe (reference:
                 # LocalMapping feeds LoopClosing, LocalMapping.cc:102)
                 m, loop = auto_loop.close_loop_step(
                     loop, m, cam, kf, voc,
                     fix_scale=cfg.sensor != "mono")
+            elif has_voc:
+                # BoW rows still maintained for relocalization
+                loop = auto_loop.add_keyframe_bow(
+                    loop, voc, kf, m.kf_desc[kf], m.kf_feat_valid[kf])
             return m, loop, kf, m.kf_lm[kf]
 
         def no_insert(args):
@@ -274,18 +297,192 @@ def build_auto_step(extractor: OrbExtractor, cfg: TrackerConfig,
 
         return jax.lax.cond(now_lost, apply_lost, apply_ok, s)
 
+    def do_initialize_mono(s: AutoState, feats, d) -> AutoState:
+        """Monocular two-view bootstrap on device (reference:
+        MonocularInitialization Tracking.cc:638-726 +
+        CreateInitialMapMonocular :733-843): store a reference frame with
+        >100 keypoints; on the next rich frame run windowed matching, the
+        batched H/F RANSAC initializer, build the 2-keyframe map,
+        full-BA it (20 iters) and fix the gauge to median scene depth 1."""
+        from ..matching import search as ms
+        from ..solvers import initializer as init_solver
+        n_valid = jnp.sum(feats.valid.astype(jnp.int32))
+        rich = n_valid > 100  # reference :644
+        have_ref = s.init_frame_id >= 0
+        obs = steps.FrameObs(feats, d, jnp.full(d.shape[0], -1, jnp.int32))
+
+        def store_ref(s):
+            # keep (or refresh) the reference bundle in `prev`
+            return s._replace(prev=obs, init_frame_id=s.frame_idx)
+
+        def clear_ref(s):
+            return s._replace(init_frame_id=jnp.int32(-1))
+
+        def try_init(s):
+            ref = s.prev
+            idx, dist, matched = ms.search_for_initialization(
+                ref.feats, feats, ref.feats.xy)
+            n_match = jnp.sum(matched.astype(jnp.int32))
+            key, sub = jax.random.split(s.loop.key)
+            s = s._replace(loop=s.loop._replace(key=key))
+            p2 = feats.xy[jnp.clip(idx, 0)]
+            res = init_solver.initialize(
+                sub, (cam.fx, cam.fy, cam.cx, cam.cy),
+                ref.feats.xy, p2, matched)
+            enough = n_match >= cfg.min_init_matches  # reference :687
+            ok1 = enough & res.success
+
+            def build(s):
+                R0, t0 = jnp.eye(3), jnp.zeros(3)
+                m = steps.insert_keyframe(s.map, cam, ref, R0, t0,
+                                          s.init_frame_id)
+                m = steps.insert_keyframe(m, cam, obs, res.R, res.t,
+                                          s.frame_idx)
+                m = steps.insert_landmarks_two_view(
+                    m, cam, jnp.int32(0), jnp.int32(1), idx, res.X,
+                    res.good & matched)
+                m = steps.refresh_landmarks(m)
+                m = steps.local_bundle_adjustment(
+                    m, cam, jnp.int32(1), iters_a=20)  # reference :787
+                med = steps.scene_median_depth(m, jnp.int32(0))
+                n_tracked = jnp.sum((m.kf_lm[1] >= 0).astype(jnp.int32))
+                ok2 = (jnp.isfinite(med) & (med > 0)
+                       & (n_tracked >= cfg.min_init_matches))
+
+                def accept(s):
+                    mm = steps.scale_map(m, 1.0 / med)
+                    loop = s.loop
+                    if has_voc:
+                        loop = auto_loop.add_keyframe_bow(
+                            loop, voc, jnp.int32(0), mm.kf_desc[0],
+                            mm.kf_feat_valid[0])
+                        loop = auto_loop.add_keyframe_bow(
+                            loop, voc, jnp.int32(1), mm.kf_desc[1],
+                            mm.kf_feat_valid[1])
+                    s = s._replace(
+                        map=mm, loop=loop,
+                        prev=obs._replace(lm=mm.kf_lm[1]),
+                        last_R=mm.kf_R[1], last_t=mm.kf_t[1],
+                        have_vel=jnp.asarray(False),
+                        ref_kf=jnp.int32(1), last_kf_frame=s.frame_idx,
+                        initialized=jnp.asarray(True),
+                        init_frame_id=jnp.int32(-1))
+                    stats8 = jnp.zeros(8, jnp.int32).at[6].set(1)
+                    return write_traj(s, mm.kf_R[1], mm.kf_t[1],
+                                      jnp.eye(3), jnp.zeros(3),
+                                      jnp.int32(1), jnp.asarray(True),
+                                      stats8)
+
+                def reject(s):
+                    # failed bootstrap: wipe + restart (reference :793-799)
+                    return s._replace(map=empty_map(cfg.map_cfg),
+                                      init_frame_id=jnp.int32(-1))
+
+                return jax.lax.cond(ok2, accept, reject, s)
+
+            def no_build(s):
+                # too few matches -> drop the reference frame (ref :687);
+                # solver failure with enough matches -> keep it and retry
+                return jax.lax.cond(enough, lambda s: s, clear_ref, s)
+
+            return jax.lax.cond(ok1, build, no_build, s)
+
+        def when_rich(s):
+            return jax.lax.cond(have_ref, try_init, store_ref, s)
+
+        return jax.lax.cond(rich, when_rich, clear_ref, s)
+
+    def do_relocalize(s: AutoState, feats, d) -> AutoState:
+        """On-device Relocalization (reference: Tracking.cc:1582-1778):
+        BoW candidate keyframe -> descriptor matching -> EPnP RANSAC ->
+        pose-only optimization -> local-map projection refill; accept at
+        >=50 inliers (reference :1752). Runs once per lost frame against
+        the best-scoring candidate (the reference round-robins up to 5
+        candidates across frames; the per-frame retry covers the same
+        search over consecutive frames)."""
+        from ..place import vocabulary as V
+        from ..solvers import pnp
+        m = s.map
+        K = m.kf_R.shape[0]
+        words = V.transform(voc, feats.desc, feats.valid)
+        vec = V.bow_vectors(voc, words, feats.valid)
+        scr = V.score_l1(vec, s.loop.bow)
+        ids = jnp.arange(K, dtype=jnp.int32)
+        live = m.kf_valid & (ids < m.n_kf)
+        scr = jnp.where(live, scr, -1.0)
+        cand = jnp.argmax(scr).astype(jnp.int32)
+        has_cand = scr[cand] > 0
+        kf_lm = m.kf_lm[cand]
+        kf_has = ((kf_lm >= 0) & m.kf_feat_valid[cand]
+                  & m.lm_valid[jnp.clip(kf_lm, 0)])
+        from ..matching import search as ms
+        idx, dist, matched = ms.search_brute(
+            m.kf_desc[cand], feats.desc, kf_has, feats.valid, ratio=0.75,
+            angle_q=m.kf_angle[cand], angle_t=feats.angle)
+        n_m = jnp.sum(matched.astype(jnp.int32))
+        N = feats.xy.shape[0]
+        frame_lm = jnp.full(N, -1, jnp.int32)
+        safe = jnp.where(matched, idx, 0)
+        frame_lm = frame_lm.at[safe].set(jnp.where(matched, kf_lm, -1))
+        has = (frame_lm >= 0) & feats.valid
+        Xw = m.lm_pw[jnp.clip(frame_lm, 0)]
+        key, sub = jax.random.split(s.loop.key)
+        res = pnp.solve_ransac(
+            sub, (cam.fx, cam.fy, cam.cx, cam.cy), Xw, feats.xy,
+            ms.sigma2_at(feats.octave), has, max_iters=300)
+        tr = steps._pose_optimize_from_matches(
+            cam, m, feats, frame_lm, res.R, res.t)
+        # escalating projection refill (reference th=10, :1716-1752)
+        local_mask = steps.local_landmark_mask(m, cand)
+        res2, m2 = steps.track_local_map(
+            cam, m, feats, tr.lm, tr.R, tr.t, local_mask,
+            jnp.float32(10.0), width, height, desc_th)
+        ok = (has_cand & (n_m >= 15) & (res.n_inliers >= 10)
+              & (tr.n_inliers >= 10) & (res2.n_inliers >= 50))
+        s = s._replace(loop=s.loop._replace(key=key))
+
+        def resume(s):
+            stats8 = (jnp.zeros(8, jnp.int32)
+                      .at[2].set(tr.n_inliers).at[3].set(res2.n_inliers)
+                      .at[6].set(2)  # 2 = relocalized this frame
+                      .at[7].set(s.loop.n_loops))
+            s = s._replace(
+                map=m2,
+                prev=steps.FrameObs(feats, d, res2.lm),
+                last_R=res2.R, last_t=res2.t,
+                have_vel=jnp.asarray(False),
+                ref_kf=cand, lost=jnp.int32(-1))
+            Rcr, tcr = se3.compose(
+                res2.R, res2.t, *se3.inverse(m2.kf_R[cand], m2.kf_t[cand]))
+            return write_traj(s, res2.R, res2.t, Rcr, tcr, cand,
+                              jnp.asarray(True), stats8)
+
+        def stay_lost(s):
+            return write_traj(s, s.last_R, s.last_t, s.last_R, s.last_t,
+                              s.ref_kf, jnp.asarray(False),
+                              jnp.zeros(8, jnp.int32))
+
+        return jax.lax.cond(ok, resume, stay_lost, s)
+
     def run_frame(s: AutoState, feats, d) -> AutoState:
+        init_fn = (do_initialize_mono if cfg.sensor == "mono"
+                   else do_initialize)
+
         def when_alive(s):
             return jax.lax.cond(
                 s.initialized,
                 lambda s: do_track(s, feats, d),
-                lambda s: do_initialize(s, feats, d), s)
+                lambda s: init_fn(s, feats, d), s)
 
-        def when_lost(s):
-            # frames keep streaming; poses invalid (host recovers later)
-            return write_traj(s, s.last_R, s.last_t, s.last_R, s.last_t,
-                              s.ref_kf, jnp.asarray(False),
-                              jnp.zeros(8, jnp.int32))
+        if has_voc:
+            def when_lost(s):
+                return do_relocalize(s, feats, d)
+        else:
+            def when_lost(s):
+                # frames keep streaming; poses invalid
+                return write_traj(s, s.last_R, s.last_t, s.last_R, s.last_t,
+                                  s.ref_kf, jnp.asarray(False),
+                                  jnp.zeros(8, jnp.int32))
 
         s = jax.lax.cond(s.lost >= 0, when_lost, when_alive, s)
         return s._replace(frame_idx=s.frame_idx + 1)
@@ -309,7 +506,20 @@ def build_auto_step(extractor: OrbExtractor, cfg: TrackerConfig,
                            feats_l.angle, feats_l.desc, feats_l.valid)
         return run_frame(s, feats, sd.depth)
 
+    @partial(jax.jit, donate_argnums=(0,))
+    def auto_step_mono(s: AutoState, img) -> AutoState:
+        """Monocular variant: no depth channel; the map's only landmark
+        sources are the two-view bootstrap and keyframe triangulation
+        (reference: GrabImageMonocular Tracking.cc:239)."""
+        feats_raw = extractor._extract(img.astype(jnp.float32))
+        N = feats_raw.xy.shape[0]
+        feats = FeatureSet(feats_raw.xy, jnp.full((N,), -1.0, jnp.float32),
+                           feats_raw.octave, feats_raw.angle,
+                           feats_raw.desc, feats_raw.valid)
+        return run_frame(s, feats, jnp.full((N,), -1.0, jnp.float32))
+
     auto_step.stereo = auto_step_stereo
+    auto_step.mono = auto_step_mono
     return auto_step
 
 
@@ -372,6 +582,16 @@ class AutoTracker:
         """Track one rectified stereo pair (reference: System::TrackStereo
         System.cc:169): one device dispatch, zero synchronization."""
         self.state = self._step.stereo(self.state, img_left, img_right)
+        self.timestamps.append(
+            self.frame_count / self.cfg.fps if timestamp is None
+            else timestamp)
+        self.frame_count += 1
+
+    def process_mono(self, img, timestamp: float | None = None):
+        """Track one monocular frame (reference: System::TrackMonocular
+        System.cc:224): one device dispatch, zero synchronization. Scale
+        is the monocular gauge (median initial scene depth = 1)."""
+        self.state = self._step.mono(self.state, img)
         self.timestamps.append(
             self.frame_count / self.cfg.fps if timestamp is None
             else timestamp)

@@ -398,6 +398,39 @@ def _pose_optimize_from_matches(cam, m, feats, frame_lm, R0, t0):
                        jnp.sum((has & feats.valid).astype(jnp.int32)), res.n_inliers)
 
 
+def _match_motion_model(cam, m, prev, feats, R_pred, t_pred, th,
+                        width, height, desc_th):
+    """Motion-model data association only (reference: SearchByProjection
+    vs last frame, ORBmatcher.cc:1540+). Returns frame_lm [N]."""
+    prev_has = (prev.lm >= 0) & prev.feats.valid
+    pw = m.lm_pw[jnp.clip(prev.lm, 0)]
+    ok_lm = m.lm_valid[jnp.clip(prev.lm, 0)] & prev_has
+    idx, dist, matched = msearch.search_by_projection_frame(
+        cam, R_pred, t_pred, pw, prev.feats, ok_lm, feats,
+        th, width, height, forward=False, backward=False, desc_th=desc_th)
+    N = feats.xy.shape[0]
+    frame_lm = jnp.full(N, -1, jnp.int32)
+    safe_idx = jnp.where(matched, idx, 0)
+    return frame_lm.at[safe_idx].set(
+        jnp.where(matched, prev.lm, frame_lm[safe_idx]))
+
+
+def _match_reference_kf(m, ref_kf, feats):
+    """Reference-keyframe data association only (reference: SearchByBoW,
+    ratio 0.7 — here a full masked Hamming sweep). Returns frame_lm [N]."""
+    kf_desc = m.kf_desc[ref_kf]
+    kf_lm = m.kf_lm[ref_kf]
+    kf_has = (kf_lm >= 0) & m.kf_feat_valid[ref_kf] & m.lm_valid[jnp.clip(kf_lm, 0)]
+    idx, dist, matched = msearch.search_brute(
+        kf_desc, feats.desc, kf_has, feats.valid, ratio=0.7,
+        angle_q=m.kf_angle[ref_kf], angle_t=feats.angle)
+    N = feats.xy.shape[0]
+    frame_lm = jnp.full(N, -1, jnp.int32)
+    safe_idx = jnp.where(matched, idx, 0)
+    return frame_lm.at[safe_idx].set(
+        jnp.where(matched, kf_lm, frame_lm[safe_idx]))
+
+
 @jax.jit
 def track_motion_model(
     cam, m: MapState, prev: FrameObs, prev_R, prev_t,
@@ -407,18 +440,8 @@ def track_motion_model(
     """TrackWithMotionModel (reference: Tracking.cc:997-1063): project last
     frame's landmarks with the constant-velocity pose prediction, windowed
     match (ORBmatcher.cc:1540+), then pose-only BA."""
-    prev_has = (prev.lm >= 0) & prev.feats.valid
-    pw = m.lm_pw[jnp.clip(prev.lm, 0)]
-    ok_lm = m.lm_valid[jnp.clip(prev.lm, 0)] & prev_has
-    idx, dist, matched = msearch.search_by_projection_frame(
-        cam, R_pred, t_pred, pw, prev.feats, ok_lm, feats,
-        th, width, height, forward=False, backward=False, desc_th=desc_th)
-    # frame_lm: scatter prev landmark ids onto matched current features
-    N = feats.xy.shape[0]
-    frame_lm = jnp.full(N, -1, jnp.int32)
-    safe_idx = jnp.where(matched, idx, 0)
-    frame_lm = frame_lm.at[safe_idx].set(
-        jnp.where(matched, prev.lm, frame_lm[safe_idx]))
+    frame_lm = _match_motion_model(cam, m, prev, feats, R_pred, t_pred,
+                                   th, width, height, desc_th)
     return _pose_optimize_from_matches(cam, m, feats, frame_lm, R_pred, t_pred)
 
 
@@ -430,17 +453,7 @@ def track_reference_keyframe(
     frame against the reference keyframe's landmarks (SearchByBoW with
     ratio 0.7 — here a full masked Hamming sweep), then pose-only BA from
     the last frame's pose."""
-    kf_desc = m.kf_desc[ref_kf]
-    kf_lm = m.kf_lm[ref_kf]
-    kf_has = (kf_lm >= 0) & m.kf_feat_valid[ref_kf] & m.lm_valid[jnp.clip(kf_lm, 0)]
-    idx, dist, matched = msearch.search_brute(
-        kf_desc, feats.desc, kf_has, feats.valid, ratio=0.7,
-        angle_q=m.kf_angle[ref_kf], angle_t=feats.angle)
-    N = feats.xy.shape[0]
-    frame_lm = jnp.full(N, -1, jnp.int32)
-    safe_idx = jnp.where(matched, idx, 0)
-    frame_lm = frame_lm.at[safe_idx].set(
-        jnp.where(matched, kf_lm, frame_lm[safe_idx]))
+    frame_lm = _match_reference_kf(m, ref_kf, feats)
     return _pose_optimize_from_matches(cam, m, feats, frame_lm, R0, t0)
 
 
@@ -823,15 +836,28 @@ def track_frame_core(cam, m: MapState, prev: FrameObs, last_R, last_t,
     match costs microseconds and keeps control flow out of the program)."""
     static_vel = isinstance(have_vel, bool)
     if (not static_vel) or have_vel:
+        # The three pose solves (motion model at 7 px + widened 14 px
+        # retry + reference-keyframe fallback) share no data dependency:
+        # batch them into ONE vmapped 40-iteration LM instead of three
+        # sequential ones (the serial LM chain is the step's latency
+        # floor; the per-iteration work is tiny either way).
         R_pred, t_pred = se3.compose(vel_R, vel_t, last_R, last_t)
-        mm1 = track_motion_model(cam, m, prev, last_R, last_t, feats,
-                                 R_pred, t_pred, jnp.float32(7.0),
-                                 jnp.float32(width), jnp.float32(height),
-                                 desc_th)
-        mm2 = track_motion_model(cam, m, prev, last_R, last_t, feats,
-                                 R_pred, t_pred, jnp.float32(14.0),
-                                 jnp.float32(width), jnp.float32(height),
-                                 desc_th)
+        lm_mm1 = _match_motion_model(
+            cam, m, prev, feats, R_pred, t_pred, jnp.float32(7.0),
+            jnp.float32(width), jnp.float32(height), desc_th)
+        lm_mm2 = _match_motion_model(
+            cam, m, prev, feats, R_pred, t_pred, jnp.float32(14.0),
+            jnp.float32(width), jnp.float32(height), desc_th)
+        lm_ref = _match_reference_kf(m, ref_kf, feats)
+        frame_lms = jnp.stack([lm_mm1, lm_mm2, lm_ref])
+        R0s = jnp.stack([R_pred, R_pred, last_R])
+        t0s = jnp.stack([t_pred, t_pred, last_t])
+        batched = jax.vmap(
+            _pose_optimize_from_matches,
+            in_axes=(None, None, None, 0, 0, 0))(
+                cam, m, feats, frame_lms, R0s, t0s)
+        mm1, mm2, ref = (jax.tree.map(lambda a, i=i: a[i], batched)
+                         for i in range(3))
         mm_ok1 = mm1.n_inliers >= 10
         mm = jax.tree.map(
             lambda a, b: jnp.where(mm_ok1, a, b), mm1, mm2)
@@ -842,7 +868,7 @@ def track_frame_core(cam, m: MapState, prev: FrameObs, last_R, last_t,
             mm_ok = mm_ok & have_vel
     else:
         mm = None
-    ref = track_reference_keyframe(cam, m, ref_kf, feats, last_R, last_t)
+        ref = track_reference_keyframe(cam, m, ref_kf, feats, last_R, last_t)
     if (not static_vel) or have_vel:
         # The reference tries the motion model first and falls back to the
         # reference keyframe only on failure (Tracking.cc:341-352). Both

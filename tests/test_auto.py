@@ -163,21 +163,61 @@ def test_stereo_auto_tracks():
     assert np.median(errs) < 0.03, f"median stereo t err {np.median(errs)}"
 
 
-def test_lost_freezes_and_reports():
+def test_mono_auto_bootstrap_and_tracking():
+    """Autonomous monocular path: on-device two-view H/F bootstrap,
+    gauge fixing, triangulation-fed keyframes (up-to-scale accuracy)."""
+    cfg = TrackerConfig(
+        sensor="mono", n_features=800, min_init_features=150,
+        min_init_matches=60,
+        map_cfg=MapConfig(k_max=16, n_feat=800, l_max=6000, d_max=8),
+        fps=10)
+    world = SyntheticWorld(seed=1)
+    poses = orbit_trajectory(n_frames=24, x_amp=0.5)
+    tr = AutoTracker(cfg, AutoTrackerConfig(loop_closing=False))
+    for R, t in poses:
+        img, _ = world.render(R, t)
+        tr.process_mono(img.astype(np.float32))
+    out = tr.finalize()
+    assert out["initialized"], "mono bootstrap never succeeded"
+    assert out["lost_at"] == -1
+    assert out["n_keyframes"] >= 2
+    assert out["valid"].sum() >= 0.7 * len(poses)
+    from orb_slam2_with_comment_tpu.evaluation.ate import (
+        ate_rmse, camera_centers)
+    sel = out["valid"]
+    est_c = camera_centers(out["R"][sel], out["t"][sel])
+    gt_c = camera_centers(
+        np.stack([poses[i][0] for i in range(len(poses))])[sel],
+        np.stack([poses[i][1] for i in range(len(poses))])[sel])
+    # monocular gauge: Umeyama similarity alignment (scale + SE3)
+    rmse = ate_rmse(est_c, gt_c, with_scale=True)
+    assert rmse < 0.03, f"mono ATE (sim-aligned) {rmse}"
+
+
+def test_lost_then_relocalizes_on_device():
+    """Feature-free frames lose tracking (state freezes); re-showing a
+    mapped view must trigger the on-device relocalization (BoW candidate
+    -> EPnP RANSAC -> pose opt -> local refill, reference
+    Tracking.cc:1582-1778) and resume tracking."""
     n = 10
     frames, poses = _frames(n)
     tr = AutoTracker(_cfg())
     for img, depth in frames[:6]:
         tr.process_rgbd(img, depth)
-    # feature-free frames: tracking must be lost, state frozen, no crash
     img0 = np.zeros((480, 640), np.uint8)
     d0 = np.zeros((480, 640), np.uint16)
     for _ in range(3):
         tr.process_rgbd(img0, d0)
+    # revisit a mapped view -> relocalize, then keep tracking
+    for img, depth in frames[2:5]:
+        tr.process_rgbd(img, depth)
     out = tr.finalize()
     assert out["initialized"]
-    assert out["lost_at"] == 6
     assert out["valid"][:6].all()
-    assert not out["valid"][6:].any()
-    # keyframe count frozen after loss
-    assert out["n_keyframes"] <= 6
+    assert not out["valid"][6:9].any()  # lost on the black frames
+    assert out["valid"][9:].all(), "did not relocalize on revisit"
+    assert out["lost_at"] == -1  # recovered
+    assert (out["stats"][9][6]) == 2  # reloc marker
+    # recovered pose matches the revisited ground truth
+    err = np.linalg.norm(out["t"][9] - poses[2][1])
+    assert err < 0.05, f"reloc pose err {err}"
