@@ -30,6 +30,42 @@ def load_map(path: str) -> MapState:
     return MapState(**fields)
 
 
+def save_auto_state(path: str, tracker) -> None:
+    """Checkpoint an AutoTracker (pipeline.auto): the entire device-side
+    AutoState pytree (map + pose/velocity/flags + trajectory ring +
+    loop-closing carry) in one dump — the functional-state design makes
+    resume trivial. NOTE: this is a device->host readback; on a
+    remote-attached TPU do it at session boundaries only (pipeline/auto.py
+    docstring)."""
+    flat, _ = _flatten_state(tracker.state)
+    arrays = {k: np.asarray(v) for k, v in flat.items()}
+    arrays["auto_meta_json"] = np.frombuffer(json.dumps({
+        "frame_count": tracker.frame_count,
+        "timestamps": tracker.timestamps,
+    }).encode(), dtype=np.uint8)
+    np.savez_compressed(path, **arrays)
+
+
+def load_auto_state(path: str, tracker) -> None:
+    """Restore an AutoTracker checkpoint into a compatibly-configured
+    tracker (same capacities / vocabulary)."""
+    data = np.load(path if str(path).endswith(".npz") else path + ".npz")
+    flat, treedef = _flatten_state(tracker.state)
+    import jax
+    leaves = [jnp.asarray(data[k]) for k in flat]
+    tracker.state = jax.tree.unflatten(treedef, leaves)
+    meta = json.loads(bytes(data["auto_meta_json"]).decode())
+    tracker.frame_count = meta["frame_count"]
+    tracker.timestamps = list(meta["timestamps"])
+
+
+def _flatten_state(state):
+    """Stable name->leaf mapping for an AutoState pytree."""
+    import jax
+    leaves, treedef = jax.tree.flatten(state)
+    return {f"auto_{i:03d}": leaf for i, leaf in enumerate(leaves)}, treedef
+
+
 def save_session(path: str, tracker) -> None:
     """Checkpoint map + tracker host state (resumable mid-sequence)."""
     from .pipeline.tracking import TrackState

@@ -252,3 +252,38 @@ def merge_landmarks(m: MapState, keep: jax.Array, kill: jax.Array,
     m = m._replace(kf_lm=kf_lm, lm_valid=lm_valid,
                    lm_found=found, lm_visible=visible)
     return rebuild_observations(m)
+
+
+def compact_landmarks(m: MapState) -> MapState:
+    """Pack live landmarks to the front of the slot arrays and reset n_lm.
+
+    Landmark slots are append-only (creation takes slot n_lm++; culling
+    and merging only clear lm_valid), so a long sequence eventually
+    exhausts l_max even when the live set is small. This pass permutes
+    live rows to a contiguous prefix — a stable argsort on the liveness
+    key keeps relative order, so the reference-observation convention
+    (slot order inside each row) is untouched — remaps the keyframe
+    back-references through the inverse permutation, and rewinds n_lm to
+    the live count. The reference never needs this (pointer graph +
+    delete), SURVEY §7.1 "culling = mask update + periodic compaction".
+
+    Fully shape-stable: call under `lax.cond(n_lm > 0.85 * L, ...)` from
+    keyframe maintenance.
+    """
+    L = m.lm_pw.shape[0]
+    # stable sort: live rows first, preserving order
+    order = jnp.argsort(~m.lm_valid, stable=True).astype(jnp.int32)  # new->old
+    inv = jnp.zeros(L, jnp.int32).at[order].set(
+        jnp.arange(L, dtype=jnp.int32))  # old->new
+    take = lambda a: a[order]
+    m = m._replace(
+        lm_pw=take(m.lm_pw), lm_valid=take(m.lm_valid),
+        lm_desc=take(m.lm_desc), lm_normal=take(m.lm_normal),
+        lm_dmin=take(m.lm_dmin), lm_dmax=take(m.lm_dmax),
+        lm_visible=take(m.lm_visible), lm_found=take(m.lm_found),
+        lm_first_kf=take(m.lm_first_kf), lm_ref_kf=take(m.lm_ref_kf),
+        lm_obs_kf=take(m.lm_obs_kf), lm_obs_feat=take(m.lm_obs_feat),
+        kf_lm=jnp.where(m.kf_lm >= 0, inv[jnp.clip(m.kf_lm, 0)], -1),
+        n_lm=jnp.sum(m.lm_valid.astype(jnp.int32)),
+    )
+    return m

@@ -371,6 +371,10 @@ def keyframe_step_mono(m: MapState, cam, obs: FrameObs, R, t, frame_id,
                      lambda mm: local_bundle_adjustment(mm, cam, k),
                      lambda mm: mm, m)
     m = cull_keyframes(m, k)
+    from ..mapstate.map import compact_landmarks
+    L = m.lm_pw.shape[0]
+    m = jax.lax.cond(m.n_lm > (L * 17) // 20, compact_landmarks,
+                     lambda mm: mm, m)
     return m
 
 
@@ -986,4 +990,10 @@ def keyframe_step(m: MapState, cam, obs: FrameObs, R, t, frame_id,
 
     m = jax.lax.cond(has_neighbors, run_ba, lambda mm: mm, m)
     m = cull_keyframes(m, k)
+    # slot hygiene: pack live landmarks when slots run low (append-only
+    # creation + mask-based culling; SURVEY §7.1 periodic compaction)
+    from ..mapstate.map import compact_landmarks
+    L = m.lm_pw.shape[0]
+    m = jax.lax.cond(m.n_lm > (L * 17) // 20, compact_landmarks,
+                     lambda mm: mm, m)
     return m

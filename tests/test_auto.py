@@ -163,6 +163,53 @@ def test_stereo_auto_tracks():
     assert np.median(errs) < 0.03, f"median stereo t err {np.median(errs)}"
 
 
+def test_landmark_compaction_under_pressure():
+    """With a small landmark capacity the keyframe step must hit the
+    compaction path (mapstate.compact_landmarks) and keep tracking instead
+    of silently running out of slots."""
+    cfg = TrackerConfig(
+        n_features=1000, min_init_features=200,
+        map_cfg=MapConfig(k_max=12, n_feat=1000, l_max=1600, d_max=8),
+        fps=30, depth_factor=1.0 / 5000.0)
+    frames, poses = _frames(16)
+    tr = AutoTracker(cfg, AutoTrackerConfig(loop_closing=False))
+    for img, depth in frames:
+        tr.process_rgbd(img, depth)
+    out = tr.finalize()
+    assert out["initialized"] and out["lost_at"] == -1
+    assert out["valid"].all()
+    # live landmarks fit the capacity with headroom restored by compaction
+    n_lm = int(np.asarray(tr.state.map.n_lm))
+    n_live = int(np.asarray(tr.state.map.lm_valid).sum())
+    assert n_lm <= 1600
+    assert n_live <= n_lm
+    errs = [np.linalg.norm(out["t"][i] - poses[i][1]) for i in range(16)]
+    assert np.median(errs) < 0.02
+
+
+def test_auto_checkpoint_roundtrip(tmp_path):
+    """save_auto_state/load_auto_state: a resumed AutoTracker continues
+    tracking exactly where the saved one stopped."""
+    from orb_slam2_with_comment_tpu.checkpoint import (
+        load_auto_state, save_auto_state)
+    n = 12
+    frames, poses = _frames(n)
+    tr = AutoTracker(_cfg())
+    for img, depth in frames[:8]:
+        tr.process_rgbd(img, depth)
+    path = str(tmp_path / "auto_ckpt.npz")
+    save_auto_state(path, tr)
+    tr2 = AutoTracker(_cfg())
+    load_auto_state(path, tr2)
+    for img, depth in frames[8:]:
+        tr.process_rgbd(img, depth)
+        tr2.process_rgbd(img, depth)
+    a, b = tr.finalize(), tr2.finalize()
+    assert b["initialized"] and b["lost_at"] == -1
+    assert np.allclose(a["t"][-4:], b["t"][-4:], atol=1e-5)
+    assert a["n_keyframes"] == b["n_keyframes"]
+
+
 def test_mono_auto_bootstrap_and_tracking():
     """Autonomous monocular path: on-device two-view H/F bootstrap,
     gauge fixing, triangulation-fed keyframes (up-to-scale accuracy)."""

@@ -60,3 +60,30 @@ class TestObservations:
                             jnp.asarray([0, 0, 1, 1]), jnp.ones(4, bool))
         w = np.asarray(covisibility_weights(m, jnp.int32(0)))
         assert w[1] == 2 and w[0] == 0
+
+
+class TestCompaction:
+    def test_compact_landmarks(self):
+        from orb_slam2_with_comment_tpu.mapstate.map import compact_landmarks
+        m = small_map()
+        # observations: lm0 @ (kf0,f2), lm2 @ (kf1,f4), lm5 @ (kf2,f3)
+        m = add_observation(m, jnp.asarray([0, 2, 5]), jnp.asarray([0, 1, 2]),
+                            jnp.asarray([2, 4, 3]), jnp.ones(3, bool))
+        # kill lm1, lm3, lm4 -> live rows must pack to slots 0..2 in order
+        m = m._replace(lm_valid=m.lm_valid.at[jnp.asarray([1, 3, 4])].set(False),
+                       lm_pw=m.lm_pw.at[0].set(jnp.asarray([1., 0, 0]))
+                       .at[2].set(jnp.asarray([2., 0, 0]))
+                       .at[5].set(jnp.asarray([3., 0, 0])))
+        m2 = compact_landmarks(m)
+        assert int(m2.n_lm) == 3
+        assert bool(m2.lm_valid[:3].all()) and not bool(m2.lm_valid[3:].any())
+        np.testing.assert_allclose(np.asarray(m2.lm_pw[:3, 0]), [1.0, 2.0, 3.0])
+        # keyframe back-references remapped
+        assert int(m2.kf_lm[0, 2]) == 0
+        assert int(m2.kf_lm[1, 4]) == 1
+        assert int(m2.kf_lm[2, 3]) == 2
+        # observation rows moved with the landmarks
+        assert int(m2.lm_obs_kf[1, 0]) == 1
+        assert int(m2.lm_obs_feat[1, 0]) == 4
+        nobs = np.asarray(landmark_obs_count(m2))
+        assert nobs[:3].tolist() == [1, 1, 1] and nobs[3:].sum() == 0
