@@ -87,17 +87,84 @@ def _inv3x3(M: jax.Array) -> jax.Array:
     return adj * inv_det[..., None, None]
 
 
+def _obs_components(cam, prob: BAProblem, G_dlp, R, t, X):
+    """Per-observation residual + Jacobian COMPONENTS in [.., D, L] layout.
+
+    TPU tiles the last two array dims to (8, 128); the naive [L, D, 3, 6]
+    Jacobian tensors pad their (3, 6) minors ~20x, turning every fusion in
+    the LM iteration into ~100 MB of HBM traffic (measured: 8.4 ms per
+    iteration). All per-observation quantities here keep the LARGE dims
+    minor — scalars are [D, L], stacked components lead — so nothing pads.
+
+    Returns (e [3,D,L], Jp [3,6,D,L], Jl [3,3,D,L], stereo_row [D,L]).
+    """
+    L, D = prob.obs_w.shape
+    # camera-frame points: Xc[i,d,l] = sum_p G[d,l,p] (R[p] X[l] + t[p])_i
+    XwR = jnp.einsum("pij,lj->pli", R, X)  # [P, L, 3]
+    Xc = (jnp.einsum("dlp,pli->idl", G_dlp, XwR)
+          + jnp.einsum("dlp,pi->idl", G_dlp, t))  # [3, D, L]
+    x, y, z = Xc[0], Xc[1], Xc[2]
+    z = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    iz = 1.0 / z
+    iz2 = iz * iz
+    obs = prob.obs_uvr.transpose(2, 1, 0)  # [3, D, L]
+    stereo = obs[2] >= 0
+    srow = stereo.astype(jnp.float32)
+    u = cam.fx * x * iz + cam.cx
+    v = cam.fy * y * iz + cam.cy
+    ur = u - cam.bf * iz
+    e = jnp.stack([obs[0] - u, obs[1] - v, (obs[2] - ur) * srow])
+    zero = jnp.zeros_like(x)
+    # dproj/dXc rows (u, v, ur), [3, 3, D, L]
+    Jproj = jnp.stack([
+        jnp.stack([cam.fx * iz, zero, -cam.fx * x * iz2]),
+        jnp.stack([zero, cam.fy * iz, -cam.fy * y * iz2]),
+        jnp.stack([(cam.fx * iz) * srow, zero,
+                   (-cam.fx * x * iz2 + cam.bf * iz2) * srow]),
+    ])
+    # d e/d xi = -Jproj @ [I | -hat(Xc)]  ([3, 6, D, L])
+    hatX = jnp.stack([
+        jnp.stack([zero, -Xc[2], Xc[1]]),
+        jnp.stack([Xc[2], zero, -Xc[0]]),
+        jnp.stack([-Xc[1], Xc[0], zero]),
+    ])  # [3, 3, D, L]
+    dXc_dxi = jnp.concatenate(
+        [jnp.broadcast_to(
+            jnp.eye(3, dtype=x.dtype)[:, :, None, None], (3, 3, D, L)),
+         -hatX], axis=1)  # [3, 6, D, L]
+    Jp = -jnp.einsum("rmdl,midl->ridl", Jproj, dXc_dxi)
+    # d e/d Xw = -Jproj @ R_obs;  R_obs[i,j,d,l] = sum_p G R[p,i,j]
+    Robs = jnp.einsum("dlp,pij->ijdl", G_dlp, R)
+    Jl = -jnp.einsum("rmdl,mjdl->rjdl", Jproj, Robs)
+    return e, Jp, Jl, srow
+
+
+def _eval_chi2_T(cam, prob: BAProblem, G_dlp, w_active, R, t, X):
+    """Per-observation chi2 in [D, L] layout (active-masked)."""
+    XwR = jnp.einsum("pij,lj->pli", R, X)
+    Xc = (jnp.einsum("dlp,pli->idl", G_dlp, XwR)
+          + jnp.einsum("dlp,pi->idl", G_dlp, t))
+    x, y, z = Xc[0], Xc[1], Xc[2]
+    z = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    iz = 1.0 / z
+    obs = prob.obs_uvr.transpose(2, 1, 0)
+    srow = (obs[2] >= 0).astype(jnp.float32)
+    u = cam.fx * x * iz + cam.cx
+    v = cam.fy * y * iz + cam.cy
+    ur = u - cam.bf * iz
+    e2 = ((obs[0] - u) ** 2 + (obs[1] - v) ** 2
+          + ((obs[2] - ur) * srow) ** 2)
+    return e2 * w_active
+
+
 def _eval_chi2(cam, prob: BAProblem, R, t, X):
-    hi = jax.lax.Precision.HIGHEST
+    """Per-observation chi2 in the public [L, D] layout."""
     P = R.shape[0]
-    G = (prob.obs_pose[:, :, None]
-         == jnp.arange(P, dtype=jnp.int32)[None, None, :]).astype(jnp.float32)
-    Rp = jnp.einsum("ldp,pij->ldij", G, R, precision=hi)
-    tp = jnp.einsum("ldp,pi->ldi", G, t, precision=hi)
-    e, _, _ = reproj_residual(cam, Rp, tp, X[:, None, :], prob.obs_uvr)
-    chi2 = jnp.sum(e * e, axis=-1) * prob.obs_w
+    G_dlp = (prob.obs_pose.T[:, :, None]
+             == jnp.arange(P, dtype=jnp.int32)).astype(jnp.float32)
     active = (prob.obs_w > 0) & prob.point_valid[:, None]
-    return jnp.where(active, chi2, 0.0)
+    w_active = jnp.where(active, prob.obs_w, 0.0).T
+    return _eval_chi2_T(cam, prob, G_dlp, w_active, R, t, X).T
 
 
 def ba_solve(
@@ -106,71 +173,81 @@ def ba_solve(
     iters: int = 10,
     robust: bool = True,
     init_lambda: float = 1e-4,
+    assembly_precision: str = "high",
 ) -> BAResult:
     """Run `iters` bounded LM iterations (reference interruption semantics —
     mbAbortBA — become 'call with fewer iters per chunk', SURVEY §2.5 P6)."""
     P = prob.R.shape[0]
     L, D = prob.obs_w.shape
-    is_stereo = prob.obs_uvr[..., 2] >= 0
-    delta_h = jnp.where(is_stereo, HUBER_STEREO, HUBER_MONO)
+    is_stereo_T = prob.obs_uvr[..., 2].T >= 0  # [D, L]
+    delta_h = jnp.where(is_stereo_T, HUBER_STEREO, HUBER_MONO)
     active = (prob.obs_w > 0) & prob.point_valid[:, None]
+    w_active = jnp.where(active, prob.obs_w, 0.0).T  # [D, L]
     free_pose = ~prob.pose_fixed
-    hi = jax.lax.Precision.HIGHEST
-    # One-hot observation->pose assignment [L, D, P]: every gather/scatter
+    # Assembly precision: the normal-equation GEMMs run at configurable
+    # MXU precision. Measured on v5e (L=8000, D=8, P=24, 5 iters):
+    # HIGHEST (fp32, 6-pass) 8.0 ms/iter; HIGH (bf16x3) 6.5 ms/iter with
+    # final chi2 within 0.1%; DEFAULT (bf16) 5.2 ms/iter but ~20% worse
+    # chi2 after 5 iters (the approximate Hessian degrades the step
+    # proposal; accept/reject always compares exact f32 chi2). HIGH is
+    # the default.
+    hi = {"highest": jax.lax.Precision.HIGHEST,
+          "high": jax.lax.Precision.HIGH,
+          "default": jax.lax.Precision.DEFAULT}[assembly_precision]
+    # One-hot observation->pose assignment [D, L, P]: every gather/scatter
     # over the pose axis becomes a matmul (TPU has no hardware gather; XLA
-    # scatter lowering serializes — both were the dominant cost here).
-    G = (prob.obs_pose[:, :, None]
-         == jnp.arange(P, dtype=jnp.int32)[None, None, :]).astype(jnp.float32)
+    # scatter lowering serializes). ALL per-observation tensors below keep
+    # the big (D, L) dims minor — (8, 128) tile padding on small minor
+    # dims otherwise inflates HBM traffic ~20x (see _obs_components).
+    G = (prob.obs_pose.T[:, :, None]
+         == jnp.arange(P, dtype=jnp.int32)).astype(jnp.float32)  # [D,L,P]
+    free_obs = jnp.einsum("dlp,p->dl", G, free_pose.astype(jnp.float32),
+                          precision=hi)
     eyeP = jnp.eye(P, dtype=jnp.float32)
 
     def iteration(carry, _):
         R, t, X, lam = carry
-        Rp = jnp.einsum("ldp,pij->ldij", G, R, precision=hi)  # [L,D,3,3]
-        tp = jnp.einsum("ldp,pi->ldi", G, t, precision=hi)
-        e, Jp, Jl = reproj_jacobians(cam, Rp, tp, X[:, None, :], prob.obs_uvr)
-        chi2_i = jnp.sum(e * e, axis=-1) * prob.obs_w
-        w_rob = huber_weight(chi2_i, delta_h) if robust else jnp.ones_like(chi2_i)
-        w = jnp.where(active, prob.obs_w * w_rob, 0.0)  # [L, D]
-        # Zero pose-Jacobians of fixed poses (their twists never move).
-        free_obs = jnp.einsum("ldp,p->ld", G, free_pose.astype(jnp.float32),
-                              precision=hi)
-        Jp = Jp * free_obs[..., None, None]
+        e, Jp, Jl, _ = _obs_components(cam, prob, G, R, t, X)
+        # e [3,D,L], Jp [3,6,D,L], Jl [3,3,D,L]
+        chi2_i = jnp.sum(e * e, axis=0) * prob.obs_w.T  # [D, L]
+        w_rob = (huber_weight(chi2_i, delta_h) if robust
+                 else jnp.ones_like(chi2_i))
+        w = w_active * w_rob  # [D, L]
+        Jp = Jp * free_obs  # fixed poses: zero pose-Jacobians
+        wJp = Jp * w  # [3,6,D,L]
+        wJl = Jl * w
 
-        # --- Hessian blocks ---
-        wJp = w[..., None, None] * Jp  # weight folded once
-        Hll = jnp.einsum("ldri,ldrj->lij", w[..., None, None] * Jl, Jl,
-                         precision=hi)  # [L,3,3]
-        bl = jnp.einsum("ldri,ldr->li", w[..., None, None] * Jl, e,
-                        precision=hi)  # [L,3]
-        Y = jnp.einsum("ldri,ldrj->ldij", wJp, Jl, precision=hi)  # [L,D,6,3]
-        Hpp_blocks = jnp.einsum("ldri,ldrj->ldij", wJp, Jp, precision=hi)
-        Hpp = jnp.einsum("ldp,ldij->pij", G, Hpp_blocks, precision=hi)
-        bp = jnp.einsum("ldp,ldri,ldr->pi", G, wJp, e, precision=hi)
+        # --- Hessian blocks (outputs keep L minor) ---
+        Hll = jnp.einsum("ridl,rjdl->ijl", wJl, Jl, precision=hi)  # [3,3,L]
+        bl = jnp.einsum("ridl,rdl->il", wJl, e, precision=hi)  # [3, L]
+        Y = jnp.einsum("ridl,rkdl->ikdl", wJp, Jl, precision=hi)  # [6,3,D,L]
+        Hpp = jnp.einsum("ridl,rjdl,dlp->pij", wJp, Jp, G,
+                         precision=hi)  # [P,6,6]
+        bp = jnp.einsum("ridl,rdl,dlp->pi", wJp, e, G, precision=hi)
 
-        # --- damping (multiplicative on the diagonal, floors for rank safety) ---
-        def damp(Hblk, eps):
-            diag = jnp.clip(jnp.diagonal(Hblk, axis1=-2, axis2=-1), eps, None)
-            return Hblk + lam * jax.vmap(jnp.diag)(diag.reshape(-1, diag.shape[-1])).reshape(Hblk.shape)
-
-        Hll_d = damp(Hll, 1e-6)
-        # Invalid landmarks: identity block so the solve stays well-posed.
-        eye3 = jnp.eye(3, dtype=Hll.dtype)
-        Hll_d = jnp.where(prob.point_valid[:, None, None], Hll_d, eye3)
-        Hll_inv = _inv3x3(Hll_d)  # [L,3,3] closed-form batched inverse
+        # --- damping (multiplicative diagonal, floors for rank safety) ---
+        diag_ll = jnp.clip(jnp.stack([Hll[0, 0], Hll[1, 1], Hll[2, 2]]),
+                           1e-6, None)  # [3, L]
+        eye3L = jnp.eye(3, dtype=Hll.dtype)[:, :, None]
+        Hll_d = Hll + lam * diag_ll[None, :, :] * eye3L
+        # invalid landmarks: identity block keeps the inverse well-posed
+        Hll_d = jnp.where(prob.point_valid, Hll_d, eye3L)
+        Hll_inv = _inv3x3(Hll_d.transpose(2, 0, 1)).transpose(1, 2, 0)
+        # [3,3,L] closed-form batched inverse (transposes are tiny: the
+        # inverse itself is elementwise on [L] component planes)
 
         # --- Schur complement ---
-        # S[p,q] -= sum_l sum_{d,d'} Y[l,d] Hll_inv[l] Y[l,d']^T. The pair
-        # sum FACTORIZES through the one-hot G: with A[l,p] = sum_d
-        # G[l,d,p] YHinv[l,d] and B[l,q] = sum_c G[l,c,q] Y[l,c],
-        # S_off = sum_l A[l,p] B[l,q]^T — three GEMMs instead of a
-        # [L*D*D] block scatter.
-        YHinv = jnp.einsum("ldij,ljk->ldik", Y, Hll_inv, precision=hi)
-        A = jnp.einsum("ldp,ldik->lpik", G, YHinv, precision=hi)  # [L,P,6,3]
-        B = jnp.einsum("ldp,ldjk->lpjk", G, Y, precision=hi)      # [L,P,6,3]
-        S_off = jnp.einsum("lpik,lqjk->pqij", A, B, precision=hi)
-        Hpp_d = damp(Hpp, 1e-6)
+        # S[p,q] -= sum_l (sum_d G Y Hinv)[p] (sum_c G Y)[q]^T: the pair
+        # sum factorizes through the one-hot G into three GEMM-shaped
+        # contractions with (d, l) as the big axes.
+        YHinv = jnp.einsum("imdl,mkl->ikdl", Y, Hll_inv, precision=hi)
+        A = jnp.einsum("dlp,ikdl->pikl", G, YHinv, precision=hi)  # [P,6,3,L]
+        B = jnp.einsum("dlp,ikdl->pikl", G, Y, precision=hi)
+        S_off = jnp.einsum("pikl,qjkl->pqij", A, B, precision=hi)
+        diag_pp = jnp.clip(jnp.diagonal(Hpp, axis1=-2, axis2=-1), 1e-6, None)
+        Hpp_d = Hpp + lam * jax.vmap(jnp.diag)(diag_pp)
         S = -S_off + jnp.einsum("pq,pij->pqij", eyeP, Hpp_d, precision=hi)
-        b_corr = jnp.einsum("ldp,ldik,lk->pi", G, YHinv, bl, precision=hi)
+        b_corr = jnp.einsum("pikl,kl->pi", A, bl, precision=hi)
         b_s = bp - b_corr
 
         # Fixed poses: identity row/col, zero rhs.
@@ -189,16 +266,17 @@ def ba_solve(
 
         # --- back-substitute landmarks ---
         # Hll dXl = -(bl + sum_d Y^T dxi_pose)
-        dxi_obs = jnp.einsum("ldp,pi->ldi", G, dxi, precision=hi)
-        Yt_dxi = jnp.einsum("ldij,ldi->lj", Y, dxi_obs, precision=hi)
-        dX = -jnp.einsum("lij,lj->li", Hll_inv, bl + Yt_dxi, precision=hi)
+        dxi_obs = jnp.einsum("dlp,pi->idl", G, dxi, precision=hi)
+        Yt_dxi = jnp.einsum("ikdl,idl->kl", Y, dxi_obs, precision=hi)
+        dX = -jnp.einsum("ijl,jl->li", Hll_inv, bl + Yt_dxi, precision=hi)
         dX = jnp.where(prob.point_valid[:, None], dX, 0.0)
 
         # --- candidate + accept/reject ---
         R_new, t_new = se3.retract(R, t, dxi)
         X_new = X + dX
-        chi2_old = jnp.sum(jnp.where(active, chi2_i, 0.0))
-        chi2_new = jnp.sum(_eval_chi2(cam, prob, R_new, t_new, X_new))
+        chi2_old = jnp.sum(jnp.where(active.T, chi2_i, 0.0))
+        chi2_new = jnp.sum(_eval_chi2_T(cam, prob, G, w_active,
+                                        R_new, t_new, X_new))
         finite = jnp.all(jnp.isfinite(dxi)) & jnp.all(jnp.isfinite(dX))
         ok = (chi2_new < chi2_old) & finite
         R = jnp.where(ok, R_new, R)

@@ -134,12 +134,16 @@ def empty_auto_state(cfg: TrackerConfig, traj_capacity: int,
 
 def build_auto_step(extractor: OrbExtractor, cfg: TrackerConfig,
                     traj_capacity: int, voc=None,
-                    loop_closing: bool = True):
+                    loop_closing: bool = True,
+                    localization_only: bool = False):
     """One jitted program: AutoState x (img, raw depth) -> AutoState.
 
     ``voc``: a numpy-backed Vocabulary (embedded as trace constants) for
     the on-device loop closing; None or loop_closing=False disables the
-    loop-closing branch (tracking + mapping only)."""
+    loop-closing branch (tracking + mapping only).
+    ``localization_only``: track against the frozen map, never insert
+    keyframes (reference: System::ActivateLocalizationMode ->
+    mbOnlyTracking, Tracking.cc:222-235)."""
     width, height = cfg.width, cfg.height
     k_max = cfg.map_cfg.k_max
     fps = float(cfg.fps)
@@ -225,6 +229,8 @@ def build_auto_step(extractor: OrbExtractor, cfg: TrackerConfig,
               & (local_in > 15))
         need_kf = ((c1a | c1b | c1c) & c2
                    & (s.map.n_kf < k_max) & ~now_lost)
+        if localization_only:
+            need_kf = jnp.asarray(False)
 
         def insert(args):
             m, loop, feats, dd, lm, R, t, fid = args
@@ -528,6 +534,10 @@ class AutoTrackerConfig:
     """Extra knobs of the autonomous mode."""
     traj_capacity: int = 4096  # trajectory ring size (frames)
     loop_closing: bool = True  # on-device loop closing (auto_loop)
+    # track-only against the frozen map, never insert keyframes
+    # (reference: System::ActivateLocalizationMode, Tracking.cc:222-235);
+    # combine with checkpoint.load_auto_state for map-based localization
+    localization_only: bool = False
 
 
 class AutoTracker:
@@ -560,9 +570,10 @@ class AutoTracker:
             from ..place.vocabulary import load_default_vocabulary
             voc = load_default_vocabulary(as_numpy=True)
         self.voc = voc
-        self._step = build_auto_step(self.extractor, cfg,
-                                     self.auto_cfg.traj_capacity, voc=voc,
-                                     loop_closing=self.auto_cfg.loop_closing)
+        self._step = build_auto_step(
+            self.extractor, cfg, self.auto_cfg.traj_capacity, voc=voc,
+            loop_closing=self.auto_cfg.loop_closing,
+            localization_only=self.auto_cfg.localization_only)
         self.state = empty_auto_state(
             cfg, self.auto_cfg.traj_capacity,
             voc.n_words if voc is not None else 1)

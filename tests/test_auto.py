@@ -163,6 +163,31 @@ def test_stereo_auto_tracks():
     assert np.median(errs) < 0.03, f"median stereo t err {np.median(errs)}"
 
 
+def test_localization_only_mode(tmp_path):
+    """Localization mode: load a mapped session, track against the frozen
+    map — no new keyframes (reference: ActivateLocalizationMode)."""
+    from orb_slam2_with_comment_tpu.checkpoint import (
+        load_auto_state, save_auto_state)
+    n = 12
+    frames, poses = _frames(n)
+    mapper = AutoTracker(_cfg())
+    for img, depth in frames:
+        mapper.process_rgbd(img, depth)
+    n_kf = mapper.finalize()["n_keyframes"]
+    path = str(tmp_path / "map.npz")
+    save_auto_state(path, mapper)
+    loc = AutoTracker(_cfg(), AutoTrackerConfig(localization_only=True))
+    load_auto_state(path, loc)
+    for img, depth in frames:
+        loc.process_rgbd(img, depth)
+    out = loc.finalize()
+    assert out["n_keyframes"] == n_kf  # map frozen
+    assert out["lost_at"] == -1
+    errs = [np.linalg.norm(out["t"][i] - poses[i % n][1])
+            for i in range(len(out["valid"])) if out["valid"][i]]
+    assert np.median(errs) < 0.02
+
+
 def test_landmark_compaction_under_pressure():
     """With a small landmark capacity the keyframe step must hit the
     compaction path (mapstate.compact_landmarks) and keep tracking instead
