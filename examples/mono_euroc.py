@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Monocular EuRoC driver (reference: Examples/Monocular/mono_euroc.cc).
 
-Usage: mono_euroc.py <settings.yaml> <mav0_dir> <timestamps.txt>
+Usage: mono_euroc.py <settings.yaml> <mav0_dir> <timestamps.txt> [--auto]
 """
 import sys
 import time
@@ -16,12 +16,37 @@ from orb_slam2_with_comment_tpu.dataio.datasets import EurocDataset
 
 
 def main(argv):
+    argv = list(argv)
+    auto = "--auto" in argv
+    if auto:
+        argv.remove("--auto")
     if len(argv) < 4:
         print(__doc__)
         return 1
     settings_path, mav_dir, times_path = argv[1], argv[2], argv[3]
     ds = EurocDataset(mav_dir, times_path, stereo=False)
     print(f"Loaded {len(ds)} frames from {mav_dir}")
+    if auto:
+        from orb_slam2_with_comment_tpu.dataio.settings import (
+            load_tracker_config)
+        from orb_slam2_with_comment_tpu.pipeline import AutoTracker
+        cfg = load_tracker_config(settings_path)
+        cfg.sensor = "mono"
+        tracker = AutoTracker(cfg)
+        t0 = time.perf_counter()
+        for ts, img in ds:
+            tracker.process_mono(img, timestamp=ts)
+        tracker.sync()
+        dt = time.perf_counter() - t0
+        out = tracker.finalize()
+        print(f"{out['n_frames']} frames in {dt:.2f}s "
+              f"({out['n_frames'] / dt:.1f} fps), "
+              f"{out['n_keyframes']} keyframes, "
+              f"{out['n_loops_closed']} loops closed, "
+              f"lost_at={out['lost_at']}")
+        with open("CameraTrajectory.txt", "w") as f:
+            f.write("\n".join(tracker.trajectory_tum()) + "\n")
+        return 0
     slam = System(settings_path=settings_path, sensor=Sensor.MONOCULAR)
     times = []
     for ts, img in ds:

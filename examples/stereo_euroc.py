@@ -20,6 +20,10 @@ from orb_slam2_with_comment_tpu.dataio.settings import load_settings
 
 
 def main(argv):
+    argv = list(argv)
+    auto = "--auto" in argv
+    if auto:
+        argv.remove("--auto")
     if len(argv) < 4:
         print(__doc__)
         return 1
@@ -31,6 +35,31 @@ def main(argv):
     rect = StereoRectifier(s.left_rect, s.right_rect, s.width, s.height)
     ds = EurocDataset(mav_dir, times_path, stereo=True)
     print(f"Loaded {len(ds)} frames from {mav_dir}")
+    if auto:
+        import numpy as np
+        from orb_slam2_with_comment_tpu.dataio.settings import (
+            load_tracker_config)
+        from orb_slam2_with_comment_tpu.pipeline import AutoTracker
+        cfg = load_tracker_config(settings_path)
+        cfg.sensor = "stereo"
+        tracker = AutoTracker(cfg)
+        t0 = time.perf_counter()
+        for ts, left, right in ds:
+            # online rectification stays on device (dataio.rectify), the
+            # rectified pair feeds the autonomous step
+            left_r, right_r = rect(left, right)
+            tracker.process_stereo(left_r, right_r, timestamp=ts)
+        tracker.sync()
+        dt = time.perf_counter() - t0
+        out = tracker.finalize()
+        print(f"{out['n_frames']} frames in {dt:.2f}s "
+              f"({out['n_frames'] / dt:.1f} fps), "
+              f"{out['n_keyframes']} keyframes, "
+              f"{out['n_loops_closed']} loops closed, "
+              f"lost_at={out['lost_at']}")
+        with open("CameraTrajectory.txt", "w") as f:
+            f.write("\n".join(tracker.trajectory_tum()) + "\n")
+        return 0
     slam = System(settings_path=settings_path, sensor=Sensor.STEREO)
     times = []
     for ts, left, right in ds:

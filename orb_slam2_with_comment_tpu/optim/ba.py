@@ -30,14 +30,10 @@ import jax.numpy as jnp
 
 from ..geometry import se3
 from .residuals import (
-    CHI2_MONO,
-    CHI2_STEREO,
     CamParams,
     HUBER_MONO,
     HUBER_STEREO,
     huber_weight,
-    reproj_jacobians,
-    reproj_residual,
 )
 
 

@@ -23,8 +23,6 @@ have a ready entry point.
 """
 from __future__ import annotations
 
-from functools import partial
-
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -52,7 +52,7 @@ remain marked invalid until recovery, visible in finalize().
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
 from typing import NamedTuple
 
@@ -62,7 +62,7 @@ import jax.numpy as jnp
 
 from ..frontend import OrbExtractor
 from ..geometry import se3
-from ..mapstate.map import MapConfig, MapState, empty_map
+from ..mapstate.map import MapState, empty_map
 from ..matching.search import FeatureSet
 from .tracking import TrackerConfig
 from . import auto_loop, steps
