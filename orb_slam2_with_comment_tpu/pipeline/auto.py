@@ -513,6 +513,22 @@ def build_auto_step(extractor: OrbExtractor, cfg: TrackerConfig,
         return run_frame(s, feats, sd.depth)
 
     @partial(jax.jit, donate_argnums=(0,))
+    def auto_step_rgbd_batch(s: AutoState, imgs, depths) -> AutoState:
+        """B frames per dispatch via lax.scan: amortizes the transport's
+        per-dispatch transfer serialization (~25% per-frame cost on the
+        remote tunnel, measured at B=4-8) at the price of B frames of
+        pipeline latency. The scan body is the full per-frame program —
+        keyframe/loop conds stay real branches."""
+        def body(s, fr):
+            img, depth = fr
+            feats, d = steps.extract_rgbd_features(
+                extractor, cam, img, depth, depth_factor, width, height)
+            return run_frame(s, feats, d), None
+
+        s, _ = jax.lax.scan(body, s, (imgs, depths))
+        return s
+
+    @partial(jax.jit, donate_argnums=(0,))
     def auto_step_mono(s: AutoState, img) -> AutoState:
         """Monocular variant: no depth channel; the map's only landmark
         sources are the two-view bootstrap and keyframe triangulation
@@ -526,6 +542,7 @@ def build_auto_step(extractor: OrbExtractor, cfg: TrackerConfig,
 
     auto_step.stereo = auto_step_stereo
     auto_step.mono = auto_step_mono
+    auto_step.rgbd_batch = auto_step_rgbd_batch
     return auto_step
 
 
@@ -538,6 +555,11 @@ class AutoTrackerConfig:
     # (reference: System::ActivateLocalizationMode, Tracking.cc:222-235);
     # combine with checkpoint.load_auto_state for map-based localization
     localization_only: bool = False
+    # frames per device dispatch (RGB-D): >1 scans several frames inside
+    # one program, amortizing the remote transport's per-dispatch transfer
+    # serialization (~25% per-frame win at 4-8, measured) for B frames of
+    # added pipeline latency. 1 = dispatch per frame (lowest latency).
+    batch_frames: int = 1
 
 
 class AutoTracker:
@@ -579,14 +601,32 @@ class AutoTracker:
             voc.n_words if voc is not None else 1)
         self.frame_count = 0
         self.timestamps: list[float] = []
+        self._batch_buf: list = []
 
     def process_rgbd(self, img, depth, timestamp: float | None = None):
-        """Track one frame: one device dispatch, zero synchronization."""
-        self.state = self._step(self.state, img, depth)
+        """Track one frame: one device dispatch, zero synchronization.
+        With auto_cfg.batch_frames > 1, frames are buffered host-side and
+        dispatched batch_frames at a time through one scanned program."""
         self.timestamps.append(
             self.frame_count / self.cfg.fps if timestamp is None
             else timestamp)
         self.frame_count += 1
+        B = self.auto_cfg.batch_frames
+        if B <= 1:
+            self.state = self._step(self.state, img, depth)
+            return
+        self._batch_buf.append((np.asarray(img), np.asarray(depth)))
+        if len(self._batch_buf) >= B:
+            imgs = np.stack([f[0] for f in self._batch_buf])
+            depths = np.stack([f[1] for f in self._batch_buf])
+            self._batch_buf = []
+            self.state = self._step.rgbd_batch(self.state, imgs, depths)
+
+    def drain(self):
+        """Dispatch any buffered partial batch (single-frame steps)."""
+        for img, depth in self._batch_buf:
+            self.state = self._step(self.state, img, depth)
+        self._batch_buf = []
 
     def process_stereo(self, img_left, img_right,
                        timestamp: float | None = None):
@@ -609,13 +649,16 @@ class AutoTracker:
         self.frame_count += 1
 
     def sync(self):
-        """Wait for the device to drain (no data readback)."""
+        """Dispatch any buffered frames and wait for the device to drain
+        (no data readback)."""
+        self.drain()
         jax.block_until_ready(self.state.frame_idx)
 
     def finalize(self) -> dict:
         """ONE device->host readback of the whole run: trajectory ring
         buffers, flags, and per-frame statistics, unrolled to frame order.
         """
+        self.drain()
         s = self.state
         T = self.auto_cfg.traj_capacity
         n = self.frame_count

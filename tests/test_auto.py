@@ -163,6 +163,25 @@ def test_stereo_auto_tracks():
     assert np.median(errs) < 0.03, f"median stereo t err {np.median(errs)}"
 
 
+def test_batched_dispatch_equivalence():
+    """batch_frames > 1 scans several frames per dispatch; trajectories
+    must match the per-frame dispatch path (within float noise — the scan
+    compiles one shared body)."""
+    n = 10
+    frames, poses = _frames(n)
+    a = AutoTracker(_cfg(), AutoTrackerConfig(loop_closing=False))
+    b = AutoTracker(_cfg(), AutoTrackerConfig(loop_closing=False,
+                                              batch_frames=4))
+    for img, depth in frames:
+        a.process_rgbd(img, depth)
+    for img, depth in frames:
+        b.process_rgbd(img, depth)
+    oa, ob = a.finalize(), b.finalize()
+    assert ob["initialized"] and ob["valid"].all()
+    assert oa["n_keyframes"] == ob["n_keyframes"]
+    assert np.allclose(oa["t"], ob["t"], atol=1e-3)
+
+
 def test_localization_only_mode(tmp_path):
     """Localization mode: load a mapped session, track against the frozen
     map — no new keyframes (reference: ActivateLocalizationMode)."""
