@@ -30,7 +30,7 @@ def main(argv):
         from orb_slam2_with_comment_tpu.dataio.settings import (
             load_tracker_config)
         from orb_slam2_with_comment_tpu.pipeline import AutoTracker
-        cfg = load_tracker_config(settings_path)
+        cfg = load_tracker_config(settings_path, expected_frames=len(ds))
         cfg.sensor = "mono"
         tracker = AutoTracker(cfg)
         t0 = time.perf_counter()
@@ -47,7 +47,8 @@ def main(argv):
         with open("CameraTrajectory.txt", "w") as f:
             f.write("\n".join(tracker.trajectory_tum()) + "\n")
         return 0
-    slam = System(settings_path=settings_path, sensor=Sensor.MONOCULAR)
+    slam = System(settings_path=settings_path, sensor=Sensor.MONOCULAR,
+                  expected_frames=len(ds))
     times = []
     for ts, img in ds:
         t0 = time.perf_counter()

@@ -44,7 +44,7 @@ def main(argv):
         from orb_slam2_with_comment_tpu.dataio.settings import (
             load_tracker_config)
         from orb_slam2_with_comment_tpu.pipeline import AutoTracker
-        cfg = load_tracker_config(settings_path)
+        cfg = load_tracker_config(settings_path, expected_frames=len(ds))
         cfg.sensor = "rgbd"
         cfg.depth_factor = 1.0  # dataset loader already yields meters
         tracker = AutoTracker(cfg)
@@ -62,7 +62,8 @@ def main(argv):
         with open("CameraTrajectory.txt", "w") as f:
             f.write("\n".join(tracker.trajectory_tum()) + "\n")
         return 0
-    slam = System(settings_path=settings_path, sensor=Sensor.RGBD)
+    slam = System(settings_path=settings_path, sensor=Sensor.RGBD,
+                  expected_frames=len(ds))
     times = []
     for ts, rgb, depth in ds.prefetch():
         t0 = time.perf_counter()

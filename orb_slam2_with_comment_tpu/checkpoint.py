@@ -83,6 +83,11 @@ def save_session(path: str, tracker) -> None:
         arrays["rel_ref"] = np.asarray([r[2] for r in tracker.rel_log])
         arrays["rel_R"] = np.stack([np.asarray(r[3]) for r in tracker.rel_log])
         arrays["rel_t"] = np.stack([np.asarray(r[4]) for r in tracker.rel_log])
+    if tracker.kf_archive:
+        uids = sorted(tracker.kf_archive)
+        arrays["arch_uid"] = np.asarray(uids, np.int64)
+        arrays["arch_R"] = np.stack([tracker.kf_archive[u][0] for u in uids])
+        arrays["arch_t"] = np.stack([tracker.kf_archive[u][1] for u in uids])
     meta = {
         "state": tracker.state.name,
         "ref_kf": int(tracker.ref_kf),
@@ -91,6 +96,8 @@ def save_session(path: str, tracker) -> None:
         "n_kf_host": int(tracker.n_kf_host),
         "n_inliers": int(tracker._n_inliers),
         "sensor": tracker.cfg.sensor,
+        "kf_uids": list(tracker.kf_uids),
+        "kf_uid_counter": int(tracker._kf_uid_counter),
     }
     arrays["meta_json"] = np.frombuffer(
         json.dumps(meta).encode(), dtype=np.uint8)
@@ -110,6 +117,14 @@ def load_session(path: str, tracker) -> None:
     tracker.frame_count = meta["frame_count"]
     tracker.n_kf_host = meta["n_kf_host"]
     tracker._n_inliers = meta["n_inliers"]
+    tracker.kf_uids = list(meta.get("kf_uids",
+                                    range(meta["n_kf_host"])))
+    tracker._kf_uid_counter = int(
+        meta.get("kf_uid_counter", meta["n_kf_host"]))
+    tracker.kf_archive = {}
+    if "arch_uid" in data:
+        for i, u in enumerate(data["arch_uid"]):
+            tracker.kf_archive[int(u)] = (data["arch_R"][i], data["arch_t"][i])
     tracker.last_R = jnp.asarray(data["last_R"])
     tracker.last_t = jnp.asarray(data["last_t"])
     tracker.velocity = ((jnp.asarray(data["vel_R"]), jnp.asarray(data["vel_t"]))
@@ -130,13 +145,14 @@ def load_session(path: str, tracker) -> None:
         desc0 = np.asarray(tracker.map.kf_desc[0])
         val0 = np.asarray(tracker.map.kf_feat_valid[0])
         voc = train_vocabulary(desc0[val0], k=8, levels=3, seed=0)
-        tracker.db = KeyFrameDatabase(voc, tracker.cfg.map_cfg.k_max)
+        tracker.db = KeyFrameDatabase(voc, tracker.map.kf_R.shape[0])
         for k in range(tracker.n_kf_host):
             tracker.db.add(k, tracker.map.kf_desc[k],
                            tracker.map.kf_feat_valid[k])
         tracker.loop_closer = LoopCloser(
             tracker.cfg.cam, tracker.db,
-            fix_scale=tracker.cfg.sensor != "mono")
+            fix_scale=tracker.cfg.sensor != "mono",
+            width=tracker.cfg.width, height=tracker.cfg.height)
     # last_obs is rebuilt from the reference keyframe's stored features
     from .matching.search import FeatureSet
     from .pipeline import steps

@@ -114,18 +114,41 @@ def load_settings(path: str) -> Settings:
     return s
 
 
-def load_tracker_config(path: str):
+def load_tracker_config(path: str, expected_frames: int | None = None,
+                        k_max: int | None = None, l_max: int | None = None):
     """Settings file -> TrackerConfig (sensor is set by the System ctor).
 
     The map capacity is sized to the extractor budget: feature slots per
     keyframe MUST equal ORBextractor.nFeatures (SoA rows are fixed-width).
+
+    Capacity sizing (the reference's map is unbounded, Map.cc:32-44; ours
+    grows geometrically at runtime): the INITIAL capacity only controls how
+    many grow-recompiles a sequence pays. Dataset drivers pass
+    ``expected_frames`` so long sequences (KITTI 00: 4541 frames) start
+    near their working size — keyframes run ~1 per 3-4 frames before
+    culling — while short clips stay small. Explicit k_max/l_max win.
+    Distortion (Camera.k1..k3) is threaded into the tracker: keypoints are
+    undistorted once per frame (reference: Frame::UndistortKeyPoints).
     """
     from ..mapstate.map import MapConfig
     from ..pipeline import TrackerConfig
     s = load_settings(path)
-    map_cfg = MapConfig(n_feat=s.n_features)
+    if k_max is None:
+        if expected_frames is not None:
+            # ~1 keyframe per 3 frames pre-culling, rounded to a power of 2
+            k_max = 64
+            while k_max < min(4096, expected_frames // 3 + 32):
+                k_max *= 2
+        else:
+            k_max = 256
+    if l_max is None:
+        # steady state ~150-400 live landmarks born per keyframe
+        l_max = max(20000, min(1 << 20, k_max * 512))
+    map_cfg = MapConfig(k_max=k_max, n_feat=s.n_features, l_max=l_max)
     return TrackerConfig(
         fx=s.fx, fy=s.fy, cx=s.cx, cy=s.cy, bf=s.bf or 40.0,
         width=s.width, height=s.height, n_features=s.n_features,
         th_depth=s.th_depth, fps=s.fps, map_cfg=map_cfg,
+        dist=tuple(float(x) for x in s.dist),
+        depth_factor=1.0 / s.depth_map_factor if s.depth_map_factor else 1.0,
     )

@@ -114,37 +114,63 @@ def covisibility_weights(m: MapState, kf_idx) -> jax.Array:
     of shared landmarks (reference: KeyFrame::UpdateConnections,
     KeyFrame.cc:295-393 — recomputed here from the observation table).
 
+    One [L, D] compare + one scatter-add into [K] — cost is O(map
+    observations), independent of keyframe capacity (the earlier one-hot
+    matmul formulation materialized an [L, D, K] mask, which is fine at
+    K=64 but 2.4 G elements at dataset-scale K≈1500).
+
     Returns [K] int32 weights (self entry zeroed).
     """
     K = m.kf_R.shape[0]
-    O = observation_matrix(m)  # [L, K]
-    onehot = (jnp.arange(K) == kf_idx).astype(O.dtype)
-    row = jnp.matmul(O, onehot, precision=jax.lax.Precision.HIGHEST)
-    w = jnp.matmul(row, O, precision=jax.lax.Precision.HIGHEST)
-    w = w.astype(jnp.int32)
+    seen = jnp.any(m.lm_obs_kf == kf_idx, axis=1) & m.lm_valid  # [L]
+    contrib = (seen[:, None] & (m.lm_obs_kf >= 0)).astype(jnp.int32)
+    w = jnp.zeros(K, jnp.int32).at[jnp.clip(m.lm_obs_kf, 0)].add(contrib)
     w = jnp.where(jnp.arange(K) == kf_idx, 0, w)
     return w * m.kf_valid.astype(jnp.int32)
 
 
 def observation_matrix(m: MapState) -> jax.Array:
-    """[L, K] float32 incidence: landmark l observed by keyframe k.
-
-    The covisibility graph is then ONE matmul O^T O (the scatter-count
-    formulation cost ~1 ms per keyframe row on TPU)."""
+    """[L, K] float32 incidence: landmark l observed by keyframe k,
+    built by scatter (NOT by the [L, D, K] broadcast-compare, which
+    explodes at dataset-scale capacities). Prefer covisibility_weights /
+    covisibility_matrix; this is for small-map utilities only."""
+    L, D = m.lm_obs_kf.shape
     K = m.kf_R.shape[0]
-    hit = jnp.any(
-        m.lm_obs_kf[:, :, None]
-        == jnp.arange(K, dtype=jnp.int32)[None, None, :], axis=1)
-    return (hit & m.lm_valid[:, None]).astype(jnp.float32)
+    rows = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[:, None], (L, D))
+    vals = ((m.lm_obs_kf >= 0) & m.lm_valid[:, None]).astype(jnp.float32)
+    return jnp.zeros((L, K), jnp.float32).at[
+        rows, jnp.clip(m.lm_obs_kf, 0)].max(vals)
 
 
 @jax.jit
 def covisibility_matrix(m: MapState) -> jax.Array:
-    """[K, K] covisibility weights (shared valid landmarks) in ONE matmul
-    (reference: KeyFrame::UpdateConnections weight counting)."""
+    """[K, K] covisibility weights (shared valid landmarks), accumulated
+    as chunked O^T O matmuls (reference: KeyFrame::UpdateConnections
+    weight counting). Chunking over landmarks keeps the incidence slab at
+    [C, K] (≈25 MB at K=1536) instead of [L, K] (≈800 MB), while the
+    contraction itself stays on the MXU."""
     K = m.kf_R.shape[0]
-    O = observation_matrix(m)
-    W = jnp.matmul(O.T, O, precision=jax.lax.Precision.HIGHEST)
+    L, D = m.lm_obs_kf.shape
+    C = min(L, 8192)
+    n_chunks = -(-L // C)
+    pad = n_chunks * C - L
+    obs_kf = jnp.pad(m.lm_obs_kf, ((0, pad), (0, 0)), constant_values=-1)
+    lm_valid = jnp.pad(m.lm_valid, (0, pad))
+    obs_kf = obs_kf.reshape(n_chunks, C, D)
+    lm_valid = lm_valid.reshape(n_chunks, C)
+
+    def body(Wacc, chunk):
+        okf, lv = chunk
+        rows = jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32)[:, None],
+                                (C, D))
+        vals = ((okf >= 0) & lv[:, None]).astype(jnp.float32)
+        O = jnp.zeros((C, K), jnp.float32).at[
+            rows, jnp.clip(okf, 0)].max(vals)
+        return Wacc + jnp.matmul(O.T, O,
+                                 precision=jax.lax.Precision.HIGHEST), None
+
+    W, _ = jax.lax.scan(body, jnp.zeros((K, K), jnp.float32),
+                        (obs_kf, lm_valid))
     W = W.astype(jnp.int32)
     W = W * (1 - jnp.eye(K, dtype=jnp.int32))
     kv = m.kf_valid.astype(jnp.int32)
@@ -254,6 +280,95 @@ def merge_landmarks(m: MapState, keep: jax.Array, kill: jax.Array,
     return rebuild_observations(m)
 
 
+def landmark_compaction_order(lm_valid: jax.Array) -> jax.Array:
+    """new->old permutation used by compact_landmarks (live rows first,
+    stable). Exposed so a host epilogue can remap landmark-id arrays it
+    holds outside the map (e.g. the last frame's feature->landmark list)."""
+    return jnp.argsort(~lm_valid, stable=True).astype(jnp.int32)
+
+
+def compact_keyframes(m: MapState) -> MapState:
+    """Pack live keyframes to the front of the slot arrays and reset n_kf —
+    the slot-recycling half of the keyframe lifecycle.
+
+    The reference's map grows unbounded (Map.cc:32-44) and culled keyframes
+    are deleted outright (KeyFrame::SetBadFlag); with fixed-capacity SoA
+    state, culling is a kf_valid mask clear (cull_keyframes) and this pass
+    reclaims the dead slots. The permutation is a stable sort on liveness,
+    so live keyframes keep their relative (temporal) order — slot index
+    differences remain a valid keyframe-age measure for landmark culling.
+
+    Remaps: every observation-table keyframe index, landmark first/ref
+    keyframe anchors (dead anchors collapse onto their live-rank, which
+    preserves ordering), and the keyframe back-reference table rows.
+
+    The HOST must mirror this permutation for everything it keys by slot:
+    trajectory reference-keyframe ids, the BoW database rows, and archived
+    poses of the evicted keyframes (pipeline.tracking owns that epilogue;
+    the permutation is recomputable from kf_valid alone).
+    """
+    K = m.kf_R.shape[0]
+    order = jnp.argsort(~m.kf_valid, stable=True).astype(jnp.int32)  # new->old
+    # old->new for any old index: number of live slots strictly before it,
+    # which equals the exact new slot for live rows and a consistent
+    # order-preserving anchor for dead rows.
+    live = m.kf_valid.astype(jnp.int32)
+    rank = jnp.cumsum(live) - live  # exclusive prefix count of live rows
+    n_live = jnp.sum(live)
+    take = lambda a: a[order]
+    remap_anchor = lambda a: jnp.clip(rank[jnp.clip(a, 0, K - 1)], 0,
+                                      jnp.maximum(n_live - 1, 0))
+    obs_alive = (m.lm_obs_kf >= 0) & m.kf_valid[jnp.clip(m.lm_obs_kf, 0)]
+    new_obs_kf = jnp.where(obs_alive, rank[jnp.clip(m.lm_obs_kf, 0)], -1)
+    # repack each observation row so valid entries form an in-order prefix
+    # again (observations held by evicted keyframes leave holes, and
+    # add_observation appends at the first free suffix slot)
+    hole_order = jnp.argsort(new_obs_kf < 0, axis=1, stable=True)
+    return m._replace(
+        kf_R=take(m.kf_R), kf_t=take(m.kf_t), kf_valid=take(m.kf_valid),
+        kf_frame_id=take(m.kf_frame_id), kf_xy=take(m.kf_xy),
+        kf_ur=take(m.kf_ur), kf_depth=take(m.kf_depth),
+        kf_octave=take(m.kf_octave), kf_angle=take(m.kf_angle),
+        kf_desc=take(m.kf_desc), kf_feat_valid=take(m.kf_feat_valid),
+        kf_lm=take(m.kf_lm),
+        lm_obs_kf=jnp.take_along_axis(new_obs_kf, hole_order, axis=1),
+        lm_obs_feat=jnp.take_along_axis(m.lm_obs_feat, hole_order, axis=1),
+        lm_first_kf=remap_anchor(m.lm_first_kf),
+        lm_ref_kf=remap_anchor(m.lm_ref_kf),
+        n_kf=n_live,
+    )
+
+
+def grow_map(m: MapState, k_max: int | None = None,
+             l_max: int | None = None) -> MapState:
+    """Re-pad the map to larger keyframe / landmark capacity (host-side,
+    between frames). The TPU-native answer to the reference's unbounded
+    pointer-graph map (Map.cc:32-44): geometric capacity doubling — each
+    growth recompiles the jitted pipeline once for the new shapes, so a
+    sequence of any length pays O(log K) recompiles total.
+
+    Row invariants are preserved: new keyframe rows are invalid, new
+    landmark rows are invalid with empty observation slots."""
+    cfg = m.config
+    K0, L0 = cfg.k_max, cfg.l_max
+    K = int(k_max or K0)
+    L = int(l_max or L0)
+    if K < K0 or L < L0:
+        raise ValueError("grow_map cannot shrink capacities")
+    if K == K0 and L == L0:
+        return m
+    fresh = empty_map(MapConfig(K, cfg.n_feat, L, cfg.d_max))
+    out = {}
+    for name in MapState._fields:
+        a = getattr(m, name)
+        fa = getattr(fresh, name)
+        if name in ("n_kf", "n_lm"):
+            out[name] = a
+        else:
+            out[name] = jax.lax.dynamic_update_slice(fa, a, (0,) * a.ndim)
+    return MapState(**out)
+
+
 def compact_landmarks(m: MapState) -> MapState:
     """Pack live landmarks to the front of the slot arrays and reset n_lm.
 
@@ -272,7 +387,7 @@ def compact_landmarks(m: MapState) -> MapState:
     """
     L = m.lm_pw.shape[0]
     # stable sort: live rows first, preserving order
-    order = jnp.argsort(~m.lm_valid, stable=True).astype(jnp.int32)  # new->old
+    order = landmark_compaction_order(m.lm_valid)  # new->old
     inv = jnp.zeros(L, jnp.int32).at[order].set(
         jnp.arange(L, dtype=jnp.int32))  # old->new
     take = lambda a: a[order]

@@ -58,6 +58,19 @@ def run_first_sorted(s: jax.Array) -> jax.Array:
     return jax.lax.associative_scan(jnp.maximum, starts)
 
 
+def gather_mask_indices(mask: jax.Array, size: int):
+    """Pack the indices of set bits of ``mask`` [n] into a fixed-size
+    prefix: returns (idx [size] int32, valid [size] bool). Order-stable
+    (lower indices first) via ONE lax.sort — the gather half of the
+    local-window architecture (bounded subproblems gathered out of
+    capacity-sized SoA state, processed at fixed shape, scattered back).
+    Overflow beyond ``size`` is silently dropped; size the caps generously.
+    """
+    order = jnp.argsort(~mask, stable=True).astype(jnp.int32)
+    idx = order[:size]
+    return idx, mask[idx]
+
+
 def onehot_set_rows(dst: jax.Array, idx: jax.Array, vals: jax.Array,
                     sel: jax.Array) -> jax.Array:
     """``dst.at[idx].set(vals)`` where ``sel`` masks active rows, as a

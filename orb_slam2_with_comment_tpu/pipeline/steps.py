@@ -358,23 +358,20 @@ def keyframe_step_mono(m: MapState, cam, obs: FrameObs, R, t, frame_id,
     k = m.n_kf
     m = insert_keyframe(m, cam, obs, R, t, frame_id)
     w = covisibility_weights(m, k)
-    top_w, top_i = prims.sort_top_k(w, 5)
-    neighbors = jnp.where(top_w > 0, top_i.astype(jnp.int32), -1)
+    top_w, top_i = prims.sort_top_k(w, 10)
+    cull_window = jnp.where(top_w > 0, top_i.astype(jnp.int32), -1)
+    neighbors = cull_window[:5]
     m = fuse_neighbors(m, cam, k, neighbors, width, height, into=True)
     m = triangulate_with_neighbors(m, cam, k, neighbors)
     m = fuse_neighbors(m, cam, k, neighbors, width, height, into=False)
     m = merge_duplicate_landmarks(m, k)
-    m = refresh_landmarks(m)
+    m = refresh_landmarks_for_kf(m, k)
     m = cull_landmarks(m, k)
     has_neighbors = jnp.any(neighbors >= 0)
     m = jax.lax.cond(has_neighbors,
                      lambda mm: local_bundle_adjustment(mm, cam, k),
                      lambda mm: mm, m)
-    m = cull_keyframes(m, k)
-    from ..mapstate.map import compact_landmarks
-    L = m.lm_pw.shape[0]
-    m = jax.lax.cond(m.n_lm > (L * 17) // 20, compact_landmarks,
-                     lambda mm: mm, m)
+    m = cull_keyframes(m, k, cull_window)
     return m
 
 
@@ -461,32 +458,45 @@ def track_reference_keyframe(
     return _pose_optimize_from_matches(cam, m, feats, frame_lm, R0, t0)
 
 
-@partial(jax.jit, static_argnames=("width", "height"))
+@partial(jax.jit, static_argnames=("width", "height", "lm_cap"))
 def track_local_map(
     cam, m: MapState, feats: FeatureSet, frame_lm, R, t,
     local_lm_mask, th, width: int, height: int,
-    desc_th=jnp.int32(100),
+    desc_th=jnp.int32(100), lm_cap: int = 4096,
 ) -> tuple[TrackResult, MapState]:
     """TrackLocalMap (reference: Tracking.cc:1075-1127 + SearchLocalPoints
     1345-1403): project unmatched local landmarks, add matches, re-optimize,
-    and update per-landmark visible/found statistics."""
-    lmset = landmark_set(m)._replace(valid=m.lm_valid & local_lm_mask)
-    fr = msearch.frustum_check(cam, R, t, lmset, width, height)
-    # exclude landmarks already matched in this frame and features already used
+    and update per-landmark visible/found statistics.
+
+    The candidate landmarks are gathered into a fixed ``lm_cap``-row window
+    before the [candidates x features] Hamming sweep — the sweep is the hot
+    per-frame op, and at dataset-scale capacity (L≈10^5, N=2000 features) an
+    ungathered sweep would be a ~10^8-cell matrix per frame. The reference's
+    local map is a few thousand points (Tracking.cc:1471-1509), so lm_cap
+    bounds nothing in practice; on overflow the lowest-index (oldest)
+    candidates win."""
     L = m.lm_pw.shape[0]
+    lm_cap = min(lm_cap, L)
+    # exclude landmarks already matched in this frame and features already used
     already_lm = jnp.zeros(L, bool).at[jnp.clip(frame_lm, 0)].set(frame_lm >= 0)
-    fr = fr._replace(visible=fr.visible & ~already_lm)
+    cand = local_lm_mask & m.lm_valid & ~already_lm
+    sel, g_ok = prims.gather_mask_indices(cand, lm_cap)
+    lmset = msearch.LandmarkSet(
+        m.lm_pw[sel], m.lm_normal[sel], m.lm_dmin[sel], m.lm_dmax[sel],
+        m.lm_desc[sel], g_ok)
+    fr = msearch.frustum_check(cam, R, t, lmset, width, height)
     feat_used = frame_lm >= 0
     idx, dist, matched = msearch.search_local_points(
         cam, R, t, lmset, fr, feats, th=th, already_matched=feat_used,
         desc_th=desc_th)
     safe_idx = jnp.where(matched, idx, 0)
-    lm_ids = jnp.arange(L, dtype=jnp.int32)
     frame_lm = frame_lm.at[safe_idx].set(
-        jnp.where(matched, lm_ids, frame_lm[safe_idx]))
+        jnp.where(matched, sel, frame_lm[safe_idx]))
     result = _pose_optimize_from_matches(cam, m, feats, frame_lm, R, t)
-    # statistics: visible++ for frustum-visible, found++ for inlier matches
-    vis_inc = (fr.visible | already_lm).astype(jnp.int32)
+    # statistics: visible++ for frustum-visible candidates and for already-
+    # matched landmarks; found++ for post-optimization inlier matches
+    vis_inc = (jnp.zeros(L, jnp.int32).at[sel].add(fr.visible.astype(jnp.int32))
+               + already_lm.astype(jnp.int32))
     found_mask = jnp.zeros(L, bool).at[jnp.clip(result.lm, 0)].set(result.lm >= 0)
     m = m._replace(
         lm_visible=m.lm_visible + vis_inc,
@@ -513,59 +523,107 @@ def local_landmark_mask(m: MapState, ref_kf) -> jax.Array:
 # local bundle adjustment + culling
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("iters_a",), donate_argnums=0)
-def local_bundle_adjustment(m: MapState, cam, cur_kf, iters_a: int = 5) -> MapState:
+@partial(jax.jit,
+         static_argnames=("iters_a", "free_cap", "fixed_cap", "lm_cap"),
+         donate_argnums=0)
+def local_bundle_adjustment(m: MapState, cam, cur_kf, iters_a: int = 5,
+                            free_cap: int = 16, fixed_cap: int = 8,
+                            lm_cap: int = 8192) -> MapState:
     """LocalBundleAdjustment (reference: Optimizer.cc:483-808): free poses =
-    current KF + its covisible neighbors, fixed = every other KF observing a
+    current KF + its covisible neighbors, fixed = other KFs observing a
     local landmark; landmarks of free KFs optimized; outlier observations
-    (chi2 > 5.991/7.815 at the optimum) erased from the map."""
+    (chi2 > 5.991/7.815 at the optimum) erased from the map.
+
+    Gather -> fixed-shape solve -> scatter: the subproblem (top ``free_cap``
+    covisible keyframes, top ``fixed_cap`` anchor keyframes by shared
+    observations, first ``lm_cap`` local landmarks) is gathered out of the
+    capacity-sized SoA map and solved at constant shape, so the per-keyframe
+    BA cost is O(local window) regardless of map size — the property that
+    lets KITTI-scale maps (K≈1500, L≈10^5) track at the same rate as the
+    64-keyframe toy maps. The reference's local window is likewise bounded
+    in practice (covisible neighbors only); overflowing landmarks simply sit
+    out this round and are re-gathered next keyframe."""
     from ..mapstate.map import covisibility_weights
     K, N = m.kf_lm.shape
+    L, D = m.lm_obs_kf.shape
+    free_cap = min(free_cap, K)
+    fixed_cap = min(fixed_cap, K)
+    lm_cap = min(lm_cap, L)
+    P = free_cap + fixed_cap
     w = covisibility_weights(m, cur_kf)
-    free = ((w > 0) | (jnp.arange(K) == cur_kf)) & m.kf_valid
     # keyframe 0 always fixed (gauge; reference Optimizer.cc:559)
-    free = free.at[0].set(False)
+    w = w.at[0].set(0)
+    top_w, top_i = prims.sort_top_k(w, free_cap - 1)
+    free_list = jnp.concatenate(
+        [cur_kf[None].astype(jnp.int32), top_i.astype(jnp.int32)])
+    free_ok = jnp.concatenate(
+        [jnp.ones(1, bool), (top_w > 0) & (top_i != cur_kf)])
+    free_mask = jnp.zeros(K, bool).at[
+        jnp.where(free_ok, free_list, 0)].max(free_ok)
     obs_valid = m.lm_obs_kf >= 0
-    lm_local = jnp.any(free[jnp.clip(m.lm_obs_kf, 0)] & obs_valid, axis=1) & m.lm_valid
-    # observation table -> BAProblem arrays
-    kf_idx = jnp.clip(m.lm_obs_kf, 0)
-    feat_idx = m.lm_obs_feat
-    uv = m.kf_xy[kf_idx, feat_idx]  # [L, D, 2]
-    ur = m.kf_ur[kf_idx, feat_idx]
+    lm_local = jnp.any(free_mask[jnp.clip(m.lm_obs_kf, 0)] & obs_valid,
+                       axis=1) & m.lm_valid
+    sel, g_ok = prims.gather_mask_indices(lm_local, lm_cap)
+    obs_kf_g = m.lm_obs_kf[sel]  # [lm_cap, D]
+    obs_feat_g = m.lm_obs_feat[sel]
+    # fixed anchors: keyframes with the most observations of the gathered
+    # landmarks that are not free (reference: all observers become fixed
+    # vertices, Optimizer.cc:519-534; bounded to the strongest fixed_cap)
+    contrib = ((obs_kf_g >= 0) & g_ok[:, None]).astype(jnp.int32)
+    cnt = jnp.zeros(K, jnp.int32).at[jnp.clip(obs_kf_g, 0)].add(contrib)
+    cnt = jnp.where(free_mask | ~m.kf_valid, 0, cnt)
+    fix_w, fix_i = prims.sort_top_k(cnt, fixed_cap)
+    sel_pose = jnp.concatenate([free_list, fix_i.astype(jnp.int32)])  # [P]
+    pose_ok = jnp.concatenate([free_ok, fix_w > 0])
+    pose_fixed = jnp.concatenate(
+        [jnp.zeros(free_cap, bool), jnp.ones(fixed_cap, bool)]) | ~pose_ok
+    safe_pose = jnp.where(pose_ok, sel_pose, 0)
+    g2l = jnp.full(K, -1, jnp.int32).at[safe_pose].max(
+        jnp.where(pose_ok, jnp.arange(P, dtype=jnp.int32), -1))
+    lp = g2l[jnp.clip(obs_kf_g, 0)]  # [lm_cap, D] local pose or -1
+    act = (obs_kf_g >= 0) & (lp >= 0) & g_ok[:, None]
+    kf_i = jnp.clip(obs_kf_g, 0)
+    uv = m.kf_xy[kf_i, obs_feat_g]  # [lm_cap, D, 2]
+    ur = m.kf_ur[kf_i, obs_feat_g]
     uvr = jnp.concatenate([uv, ur[..., None]], axis=-1)
-    octv = m.kf_octave[kf_idx, feat_idx]
-    wgt = jnp.where(obs_valid & lm_local[:, None], inv_sigma2_at(octv), 0.0)
+    octv = m.kf_octave[kf_i, obs_feat_g]
+    wgt = jnp.where(act, inv_sigma2_at(octv), 0.0)
     prob = ba.BAProblem(
-        R=m.kf_R, t=m.kf_t, X=m.lm_pw,
-        obs_pose=kf_idx, obs_uvr=uvr, obs_w=wgt,
-        pose_fixed=~free, point_valid=lm_local,
+        R=m.kf_R[safe_pose], t=m.kf_t[safe_pose], X=m.lm_pw[sel],
+        obs_pose=jnp.clip(lp, 0), obs_uvr=uvr, obs_w=wgt,
+        pose_fixed=pose_fixed, point_valid=g_ok,
     )
     res = ba.ba_solve(cam, prob, iters=iters_a, robust=True)
+    # scatter optimized poses / landmarks back into the map
+    upd = pose_ok & ~pose_fixed
+    kf_R = m.kf_R.at[safe_pose].set(
+        jnp.where(upd[:, None, None], res.R, m.kf_R[safe_pose]))
+    kf_t = m.kf_t.at[safe_pose].set(
+        jnp.where(upd[:, None], res.t, m.kf_t[safe_pose]))
+    lm_pw = m.lm_pw.at[sel].set(
+        jnp.where(g_ok[:, None], res.X, m.lm_pw[sel]))
     # second stage without robust kernel on inliers only (reference: 5 iters
     # robust, outlier pass, 10 more): here one fused pass — erase outliers.
     is_stereo = uvr[..., 2] >= 0
     chi_th = jnp.where(is_stereo, 7.815, 5.991)
     outlier = (res.obs_chi2 > chi_th) & (wgt > 0)
-    # erase outlier observations from the table + keyframe back-refs
-    new_obs_kf = jnp.where(outlier, -1, m.lm_obs_kf)
-    lm_ids = jnp.arange(m.lm_pw.shape[0], dtype=jnp.int32)
-    back_ok = m.kf_lm[jnp.clip(m.lm_obs_kf, 0), feat_idx] == lm_ids[:, None]
+    new_rows = jnp.where(outlier, -1, obs_kf_g)
+    lm_obs_kf = m.lm_obs_kf.at[sel].set(new_rows)
+    back_ok = m.kf_lm[kf_i, obs_feat_g] == sel[:, None]
     clear = outlier & back_ok
-    kf_lm = m.kf_lm.at[jnp.clip(m.lm_obs_kf, 0), feat_idx].set(
-        jnp.where(clear, -1, m.kf_lm[jnp.clip(m.lm_obs_kf, 0), feat_idx]))
-    m = m._replace(
-        kf_R=res.R, kf_t=res.t, lm_pw=res.X,
-        lm_obs_kf=new_obs_kf, kf_lm=kf_lm,
-    )
+    kf_lm = m.kf_lm.at[kf_i, obs_feat_g].set(
+        jnp.where(clear, -1, m.kf_lm[kf_i, obs_feat_g]))
     # Landmarks whose last observation was just erased are dead weight:
     # they stay matchable by descriptor but are no longer anchored by any
     # keyframe, so BA never corrects them and they poison projection
     # matching (the reference's MapPointCulling handles this the next
     # round; with culling running before BA in the fused keyframe step the
     # orphans would otherwise survive forever).
-    nobs_after = jnp.sum(new_obs_kf >= 0, axis=1)
-    m = m._replace(lm_valid=m.lm_valid & (nobs_after > 0))
-    return m
+    nobs_after = jnp.sum(new_rows >= 0, axis=1)
+    lm_valid = m.lm_valid.at[sel].set(
+        m.lm_valid[sel] & jnp.where(g_ok, nobs_after > 0, True))
+    return m._replace(kf_R=kf_R, kf_t=kf_t, lm_pw=lm_pw,
+                      lm_obs_kf=lm_obs_kf, kf_lm=kf_lm, lm_valid=lm_valid)
 
 
 @partial(jax.jit, donate_argnums=0)
@@ -634,41 +692,115 @@ def fuse_pair(m: MapState, cam, src_kf, dst_kf, width: int, height: int) -> MapS
     return merge_landmarks(m, jnp.clip(keep, 0), jnp.clip(kill, 0), dup)
 
 
+@partial(jax.jit, static_argnames=("width", "height", "lm_cap"),
+         donate_argnums=0)
+def loop_search_and_fuse(m: MapState, cam, loop_lm_mask, group_kfs,
+                         width: int, height: int,
+                         lm_cap: int = 4096) -> MapState:
+    """SearchAndFuse (reference: LoopClosing.cc:725-754): project the loop
+    keyframes' landmarks into every corrected keyframe of the current
+    covisibility group (radius th=4, reference :741), adding observations
+    on free features and — unlike the regular Fuse — ALWAYS replacing a
+    conflicting landmark with the loop landmark (reference stages
+    vpReplacePoints and calls Replace(pLoopMP), :746-752): the loop side
+    carries the longer history, and these merges are what weld the two
+    sides of the loop into one covisibility component.
+
+    ``loop_lm_mask`` [L]: landmarks of the loop keyframe's covisibility
+    group; ``group_kfs`` [G]: corrected keyframe slots, -1 padded.
+    """
+    L = m.lm_pw.shape[0]
+    lm_cap = min(lm_cap, L)
+    sel, g_ok = prims.gather_mask_indices(loop_lm_mask & m.lm_valid, lm_cap)
+    from ..matching.search import LandmarkSet, fuse_candidates
+    from ..mapstate.map import merge_landmarks
+
+    def body(i, mm):
+        j = group_kfs[i]
+
+        def do(mm):
+            ok_lm = g_ok & mm.lm_valid[sel]
+            lmset = LandmarkSet(
+                mm.lm_pw[sel], mm.lm_normal[sel], mm.lm_dmin[sel],
+                mm.lm_dmax[sel], mm.lm_desc[sel], ok_lm)
+            feats_b = FeatureSet(
+                mm.kf_xy[j], mm.kf_ur[j], mm.kf_octave[j],
+                mm.kf_angle[j], mm.kf_desc[j], mm.kf_feat_valid[j])
+            idx, dist, matched = fuse_candidates(
+                cam, mm.kf_R[j], mm.kf_t[j], lmset, feats_b,
+                width, height, th=4.0)
+            feat_free = mm.kf_lm[j, idx] < 0
+            already = jnp.any(mm.lm_obs_kf[sel] == j, axis=1)
+            ok = matched & feat_free & ~already & ok_lm
+            C = sel.shape[0]
+            mm = add_observation(mm, sel, jnp.full(C, j, jnp.int32), idx, ok)
+            other = mm.kf_lm[j, idx]
+            dup = (matched & ok_lm & (other >= 0) & (other != sel)
+                   & mm.lm_valid[sel])
+            # loop landmark wins unconditionally (reference :746-752)
+            return merge_landmarks(mm, sel, jnp.clip(other, 0), dup)
+
+        return jax.lax.cond(j >= 0, do, lambda x: x, mm)
+
+    return jax.lax.fori_loop(0, group_kfs.shape[0], body, m)
+
+
+def repack_obs_rows(m: MapState) -> MapState:
+    """Repack each landmark's observation row so the valid entries form a
+    prefix in their original order (the append-only invariant
+    add_observation relies on), after in-place clears punched holes.
+    One stable [L, D] sort along the tiny slot axis — O(map observations),
+    unlike a full rebuild_observations (which sorts the [K*N] back-ref
+    table and scales with keyframe capacity)."""
+    holes = m.lm_obs_kf < 0
+    order = jnp.argsort(holes, axis=1, stable=True)
+    return m._replace(
+        lm_obs_kf=jnp.take_along_axis(m.lm_obs_kf, order, axis=1),
+        lm_obs_feat=jnp.take_along_axis(m.lm_obs_feat, order, axis=1))
+
+
 @partial(jax.jit, donate_argnums=0)
-def cull_keyframes(m: MapState, cur_kf) -> MapState:
+def cull_keyframes(m: MapState, cur_kf, candidates) -> MapState:
     """KeyFrameCulling (reference: LocalMapping.cc:775-841): a keyframe is
     redundant when >= 90% of its landmarks are observed by >= 3 OTHER
     keyframes at the same or finer scale (octave <= own + 1). Culled
-    keyframes keep their pose rows (trajectory chains stay resolvable) but
-    drop out of covisibility, BA, and the observation table.
+    keyframes lose their observations and covisibility; their pose rows
+    stay until the next compaction pass recycles the slots (the host
+    archives evicted poses for trajectory export at that point).
 
-    Keyframe 0 (gauge) and the current keyframe are never culled; slots
-    are append-only, so culling is map hygiene + compute bounding, not
-    slot recycling (capacity compaction is a separate maintenance pass).
+    ``candidates`` [C]: keyframe slots to evaluate (-1 padded) — the
+    reference likewise culls only the LOCAL keyframes covisible with the
+    current one (LocalMapping.cc:779), which bounds the work to a fixed
+    window instead of an all-keyframes [K, N, D] sweep.
+
+    Keyframe 0 (gauge) and the current keyframe are never culled.
     """
     K, N = m.kf_lm.shape
-    lm = jnp.clip(m.kf_lm, 0)                       # [K, N]
-    has = (m.kf_lm >= 0) & m.kf_feat_valid & m.lm_valid[lm] & m.kf_valid[:, None]
-    obs_kf = m.lm_obs_kf[lm]                        # [K, N, D]
+    C = candidates.shape[0]
+    cand = jnp.clip(candidates, 0)                    # [C]
+    lm = jnp.clip(m.kf_lm[cand], 0)                   # [C, N]
+    has = ((m.kf_lm[cand] >= 0) & m.kf_feat_valid[cand]
+           & m.lm_valid[lm] & m.kf_valid[cand][:, None])
+    obs_kf = m.lm_obs_kf[lm]                          # [C, N, D]
     obs_feat = m.lm_obs_feat[lm]
-    obs_oct = m.kf_octave[jnp.clip(obs_kf, 0), obs_feat]  # [K, N, D]
-    own_oct = m.kf_octave[:, :, None]
-    k_ids = jnp.arange(K, dtype=jnp.int32)[:, None, None]
-    counted = ((obs_kf >= 0) & (obs_kf != k_ids)
+    obs_oct = m.kf_octave[jnp.clip(obs_kf, 0), obs_feat]  # [C, N, D]
+    own_oct = m.kf_octave[cand][:, :, None]
+    counted = ((obs_kf >= 0) & (obs_kf != cand[:, None, None])
                & m.kf_valid[jnp.clip(obs_kf, 0)]
                & (obs_oct <= own_oct + 1))
-    n_other = jnp.sum(counted, axis=2)              # [K, N]
+    n_other = jnp.sum(counted, axis=2)                # [C, N]
     redundant = has & (n_other >= 3)
     n_has = jnp.sum(has, axis=1)
     n_red = jnp.sum(redundant, axis=1)
-    cull = (m.kf_valid & (n_has > 0)
+    cull = (m.kf_valid[cand] & (n_has > 0)
             & (n_red.astype(jnp.float32) > 0.9 * n_has.astype(jnp.float32)))
-    cull = cull.at[0].set(False)
-    cull = cull & (jnp.arange(K) != cur_kf)
-    kf_valid = m.kf_valid & ~cull
-    m = m._replace(kf_valid=kf_valid)
-    from ..mapstate.map import rebuild_observations
-    return rebuild_observations(m)
+    cull = cull & (candidates >= 0) & (cand != 0) & (cand != cur_kf)
+    kf_valid = m.kf_valid.at[cand].set(m.kf_valid[cand] & ~cull)
+    # clear observations held by culled keyframes, then repack the rows
+    obs_dead = (m.lm_obs_kf >= 0) & ~kf_valid[jnp.clip(m.lm_obs_kf, 0)]
+    m = m._replace(kf_valid=kf_valid,
+                   lm_obs_kf=jnp.where(obs_dead, -1, m.lm_obs_kf))
+    return repack_obs_rows(m)
 
 
 @partial(jax.jit, static_argnames=("block",), donate_argnums=0)
@@ -693,25 +825,38 @@ def merge_duplicate_landmarks(m: MapState, cur_kf, block: int = 1024) -> MapStat
     first_r = jax.lax.dynamic_slice(m.lm_first_kf, (start,), (R,))
     valid_r = jax.lax.dynamic_slice(m.lm_valid, (start,), (R,))
     recent = valid_r & (first_r == cur_kf) & (slot < m.n_lm)
-    # distance to every landmark (sum of squared component diffs keeps the
-    # peak intermediate at [R, L] instead of [R, L, 3])
-    d2 = ((pw_r[:, 0:1] - m.lm_pw[None, :, 0]) ** 2
-          + (pw_r[:, 1:2] - m.lm_pw[None, :, 1]) ** 2
-          + (pw_r[:, 2:3] - m.lm_pw[None, :, 2]) ** 2)
-    ham = distance_matrix(desc_r, m.lm_desc)
-    tol = jnp.clip(0.015 * m.lm_dmax, 0.005, 0.05)[None, :]
-    # merge into any strictly-lower slot (covers both older keyframes'
-    # landmarks and same-keyframe octave duplicates; strict ordering
-    # prevents cycles, merge_landmarks compresses chains)
-    lower = m.lm_valid[None, :] & (
-        jnp.arange(L, dtype=jnp.int32)[None, :] < slot[:, None])
-    ok = (lower & (d2 < tol * tol) & (ham <= 50)
-          & recent[:, None])
-    d2m = jnp.where(ok, d2, jnp.inf)
-    tgt = jnp.argmin(d2m, axis=1).astype(jnp.int32)
-    has = jnp.isfinite(jnp.min(d2m, axis=1))
+    # Sweep all L candidate targets in fixed-size chunks (running masked
+    # argmin) so the peak intermediate is [R, chunk] rather than [R, L] —
+    # at dataset-scale L≈10^5 an unchunked [R, L] float slab is ~0.5 GB.
+    CH = 16384
+    best_d2 = jnp.full((R,), jnp.inf, jnp.float32)
+    best_tgt = jnp.zeros((R,), jnp.int32)
+    for start_c in range(0, L, CH):
+        n_c = min(CH, L - start_c)
+        pw_c = jax.lax.slice_in_dim(m.lm_pw, start_c, start_c + n_c)
+        desc_c = jax.lax.slice_in_dim(m.lm_desc, start_c, start_c + n_c)
+        dmax_c = jax.lax.slice_in_dim(m.lm_dmax, start_c, start_c + n_c)
+        valid_c = jax.lax.slice_in_dim(m.lm_valid, start_c, start_c + n_c)
+        ids_c = start_c + jnp.arange(n_c, dtype=jnp.int32)
+        d2 = ((pw_r[:, 0:1] - pw_c[None, :, 0]) ** 2
+              + (pw_r[:, 1:2] - pw_c[None, :, 1]) ** 2
+              + (pw_r[:, 2:3] - pw_c[None, :, 2]) ** 2)
+        ham = distance_matrix(desc_r, desc_c)
+        tol = jnp.clip(0.015 * dmax_c, 0.005, 0.05)[None, :]
+        # merge into any strictly-lower slot (covers both older keyframes'
+        # landmarks and same-keyframe octave duplicates; strict ordering
+        # prevents cycles, merge_landmarks compresses chains)
+        lower = valid_c[None, :] & (ids_c[None, :] < slot[:, None])
+        ok = (lower & (d2 < tol * tol) & (ham <= 50) & recent[:, None])
+        d2m = jnp.where(ok, d2, jnp.inf)
+        arg_c = jnp.argmin(d2m, axis=1)
+        min_c = jnp.take_along_axis(d2m, arg_c[:, None], axis=1)[:, 0]
+        better = min_c < best_d2
+        best_tgt = jnp.where(better, ids_c[arg_c], best_tgt)
+        best_d2 = jnp.where(better, min_c, best_d2)
+    has = jnp.isfinite(best_d2)
     from ..mapstate.map import merge_landmarks
-    return merge_landmarks(m, tgt, slot, has & recent)
+    return merge_landmarks(m, best_tgt, slot, has & recent)
 
 
 @partial(jax.jit, donate_argnums=0)
@@ -762,6 +907,60 @@ def refresh_landmarks(m: MapState) -> MapState:
                       lm_dmax=lm_dmax, lm_dmin=lm_dmin)
 
 
+@partial(jax.jit, donate_argnums=0)
+def refresh_landmarks_for_kf(m: MapState, kf) -> MapState:
+    """refresh_landmarks restricted to the landmarks observed by keyframe
+    ``kf`` — the set a keyframe-maintenance step actually touches (insert /
+    fuse / triangulate / merge all leave their marks in the kf's back-ref
+    row). The reference likewise recomputes descriptors and normals only
+    for affected points (LocalMapping.cc:166-170, ORBmatcher::Fuse
+    callers); the global pass stays available for init and loop paths.
+    Cost is O(n_feat · D²) instead of O(L · D²)."""
+    from ..ops.hamming import hamming_pair
+    L, D = m.lm_obs_kf.shape
+    ids = m.kf_lm[kf]  # [N]
+    sel = jnp.clip(ids, 0)
+    g_ok = (ids >= 0) & m.kf_feat_valid[kf] & m.lm_valid[sel]
+    obs_kf = m.lm_obs_kf[sel]  # [N, D]
+    obs_feat = m.lm_obs_feat[sel]
+    valid_obs = (obs_kf >= 0) & g_ok[:, None]
+    kf_idx = jnp.clip(obs_kf, 0)
+    descs = m.kf_desc[kf_idx, obs_feat]  # [N, D, 8]
+    dmat = hamming_pair(descs[:, :, None, :], descs[:, None, :, :])
+    big = 10_000
+    pair_ok = valid_obs[:, :, None] & valid_obs[:, None, :]
+    dmat = jnp.where(pair_ok, dmat, big)
+    srt = jnp.sort(dmat, axis=2)
+    cnt = jnp.sum(valid_obs, axis=1)
+    mid = jnp.clip((cnt - 1) // 2, 0, D - 1)
+    med = jnp.take_along_axis(srt, mid[:, None, None].repeat(D, 1), axis=2)[..., 0]
+    med = jnp.where(valid_obs, med, big)
+    best = jnp.argmin(med, axis=1)
+    new_desc = jnp.take_along_axis(descs, best[:, None, None].repeat(8, 2), axis=1)[:, 0]
+    Ow = -jnp.einsum("kij,ki->kj", m.kf_R, m.kf_t)
+    pw = m.lm_pw[sel]
+    dirs = pw[:, None, :] - Ow[kf_idx]
+    norms = jnp.linalg.norm(dirs, axis=-1).clip(1e-9)
+    dirs = jnp.where(valid_obs[..., None], dirs / norms[..., None], 0.0)
+    nsum = jnp.sum(dirs, axis=1)
+    normal = nsum / jnp.linalg.norm(nsum, axis=-1, keepdims=True).clip(1e-9)
+    ref_kf = kf_idx[:, 0]
+    ref_feat = obs_feat[:, 0]
+    dist_ref = jnp.linalg.norm(pw - Ow[ref_kf], axis=-1)
+    octv = m.kf_octave[ref_kf, ref_feat]
+    dmax = dist_ref * scale_at(octv)
+    dmin = dmax / float(SCALE_FACTORS[N_LEVELS - 1])
+    upd = g_ok & (cnt > 0)
+    return m._replace(
+        lm_desc=m.lm_desc.at[sel].set(
+            jnp.where(upd[:, None], new_desc, m.lm_desc[sel])),
+        lm_normal=m.lm_normal.at[sel].set(
+            jnp.where(upd[:, None], normal, m.lm_normal[sel])),
+        lm_dmax=m.lm_dmax.at[sel].set(jnp.where(upd, dmax, m.lm_dmax[sel])),
+        lm_dmin=m.lm_dmin.at[sel].set(jnp.where(upd, dmin, m.lm_dmin[sel])),
+    )
+
+
 # ---------------------------------------------------------------------------
 # fused per-frame tracking megastep (one device call per tracked frame)
 # ---------------------------------------------------------------------------
@@ -787,9 +986,15 @@ class FrameStepResult(NamedTuple):
 
 
 def extract_rgbd_features(extractor, cam, img, depth_map, depth_factor,
-                          width: int, height: int):
+                          width: int, height: int, undist_cam=None):
     """Shared frame prep: ORB extraction + depth sampling with the
     occlusion-boundary gate + mvuRight synthesis. Returns (feats, d).
+
+    ``undist_cam``: optional models.camera.PinholeCamera carrying radtan
+    distortion — keypoints are undistorted AFTER depth sampling (the depth
+    image is aligned with the raw image) and BEFORE mvuRight synthesis
+    (reference: Frame::UndistortKeyPoints Frame.cc:434-469, RGB-D mvuRight
+    from undistorted keypoints Frame.cc:687-698).
 
     Raw depth (e.g. uint16 millimeters) -> float32 meters on device
     (reference: DepthMapFactor convertTo, Tracking.cc:144-148) — uploading
@@ -822,6 +1027,8 @@ def extract_rgbd_features(extractor, cam, img, depth_map, depth_factor,
     d, dmin, dmax = sampled[:, 0], sampled[:, 1], sampled[:, 2]
     edge = (dmin <= 0) | ((dmax - dmin) > 0.04 * jnp.clip(d, 1e-6, None))
     d = jnp.where((d > 0) & ~edge, d, -1.0)
+    if undist_cam is not None:
+        xy = undist_cam.undistort_points(xy)
     ur = jnp.where(d > 0, xy[:, 0] - cam.bf / jnp.clip(d, 1e-6, None), -1.0)
     feats = FeatureSet(xy, ur, feats_raw.octave, feats_raw.angle,
                        feats_raw.desc, feats_raw.valid)
@@ -831,7 +1038,8 @@ def extract_rgbd_features(extractor, cam, img, depth_map, depth_factor,
 def track_frame_core(cam, m: MapState, prev: FrameObs, last_R, last_t,
                      vel_R, vel_t, have_vel, ref_kf, feats: FeatureSet, d,
                      th_depth, desc_th, desc_th_local, min_obs,
-                     width: int, height: int) -> FrameStepResult:
+                     width: int, height: int,
+                     th_local=None) -> FrameStepResult:
     """The fused steady-state tracking body over prepared features:
     motion model (with widened retry) -> reference-KF fallback ->
     local-map tracking -> keyframe-decision statistics. ``have_vel``
@@ -891,8 +1099,12 @@ def track_frame_core(cam, m: MapState, prev: FrameObs, last_R, last_t,
         used_mm = jnp.int32(0)
         mm_inliers = jnp.int32(0)
     local_mask = local_landmark_mask(m, ref_kf)
+    # local-map search radius: th=3 RGB-D default; the host passes 5.0
+    # within 2 frames of a relocalization (reference: Tracking.cc:1393-1399)
+    if th_local is None:
+        th_local = jnp.float32(3.0)
     res2, m = track_local_map(cam, m, feats, res.lm, res.R, res.t,
-                              local_mask, jnp.float32(3.0), width, height,
+                              local_mask, th_local, width, height,
                               desc_th_local)
     # keyframe-decision statistics (reference: Tracking.cc:1140-1244)
     from ..ops.patches import take_rows
@@ -921,7 +1133,8 @@ def track_frame_core(cam, m: MapState, prev: FrameObs, last_R, last_t,
                            new_vel[0], new_vel[1], rel[0], rel[1])
 
 
-def build_track_frame_step(extractor, width: int, height: int):
+def build_track_frame_step(extractor, width: int, height: int,
+                           undist_cam=None):
     """Build the fused per-frame step (extraction -> depth gating ->
     tracking core) as ONE jitted program returning one small stats vector
     (SURVEY.md §2.5 P1: vectorized pipeline stages instead of threads)."""
@@ -931,13 +1144,14 @@ def build_track_frame_step(extractor, width: int, height: int):
     def step(cam, m: MapState, prev: FrameObs, last_R, last_t,
              vel_R, vel_t, have_vel: bool, ref_kf, img, depth_map,
              depth_factor, th_depth, desc_th, desc_th_local,
-             min_obs) -> FrameStepResult:
+             min_obs, th_local) -> FrameStepResult:
         feats, d = extract_rgbd_features(
-            extractor, cam, img, depth_map, depth_factor, width, height)
+            extractor, cam, img, depth_map, depth_factor, width, height,
+            undist_cam)
         return track_frame_core(
             cam, m, prev, last_R, last_t, vel_R, vel_t, have_vel, ref_kf,
             feats, d, th_depth, desc_th, desc_th_local, min_obs,
-            width, height)
+            width, height, th_local)
 
     return step
 
@@ -975,13 +1189,14 @@ def keyframe_step(m: MapState, cam, obs: FrameObs, R, t, frame_id,
     k = m.n_kf
     m = insert_keyframe(m, cam, obs, R, t, frame_id)
     w = covisibility_weights(m, k)
-    top_w, top_i = prims.sort_top_k(w, 5)
-    neighbors = jnp.where(top_w > 0, top_i.astype(jnp.int32), -1)
+    top_w, top_i = prims.sort_top_k(w, 10)
+    cull_window = jnp.where(top_w > 0, top_i.astype(jnp.int32), -1)
+    neighbors = cull_window[:5]
     m = fuse_neighbors(m, cam, k, neighbors, width, height, into=True)
     m = create_depth_landmarks(m, cam, k, th_depth)
     m = fuse_neighbors(m, cam, k, neighbors, width, height, into=False)
     m = merge_duplicate_landmarks(m, k)
-    m = refresh_landmarks(m)
+    m = refresh_landmarks_for_kf(m, k)
     m = cull_landmarks(m, k)
     has_neighbors = jnp.any(neighbors >= 0)
 
@@ -989,11 +1204,8 @@ def keyframe_step(m: MapState, cam, obs: FrameObs, R, t, frame_id,
         return local_bundle_adjustment(mm, cam, k)
 
     m = jax.lax.cond(has_neighbors, run_ba, lambda mm: mm, m)
-    m = cull_keyframes(m, k)
-    # slot hygiene: pack live landmarks when slots run low (append-only
-    # creation + mask-based culling; SURVEY §7.1 periodic compaction)
-    from ..mapstate.map import compact_landmarks
-    L = m.lm_pw.shape[0]
-    m = jax.lax.cond(m.n_lm > (L * 17) // 20, compact_landmarks,
-                     lambda mm: mm, m)
+    # keyframe hygiene over the local covisibility window; landmark-slot
+    # compaction is host-managed between frames (pipeline.tracking) so the
+    # in-flight pipelined frames never see a surprise landmark permutation
+    m = cull_keyframes(m, k, cull_window)
     return m

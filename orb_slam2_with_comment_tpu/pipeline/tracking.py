@@ -41,6 +41,26 @@ def _stack_stats(*stats):
     return jnp.stack(stats)
 
 
+@jax.jit
+def _map_counters(m: MapState) -> jax.Array:
+    """[4] int32: [n_kf slots used, live keyframes, n_lm slots used,
+    live landmarks] — ONE small transfer drives the host's map-lifecycle
+    decisions (compaction / growth)."""
+    return jnp.stack([
+        m.n_kf, jnp.sum(m.kf_valid.astype(jnp.int32)),
+        m.n_lm, jnp.sum(m.lm_valid.astype(jnp.int32))])
+
+
+@jax.jit
+def _remap_ids(ids, inv, old_valid):
+    """Remap an id array through an old->new permutation, dropping ids
+    that were invalid pre-compaction (feature->landmark lists held by the
+    host across a compact_landmarks pass)."""
+    safe = jnp.clip(ids, 0)
+    ok = (ids >= 0) & old_valid[safe]
+    return jnp.where(ok, inv[safe], -1)
+
+
 class TrackState(enum.Enum):
     NOT_INITIALIZED = 0
     OK = 1
@@ -83,6 +103,22 @@ class TrackerConfig:
     # cuts the host->device frame upload ~2.7x (matters on a
     # remote-attached TPU where tunnel bandwidth bounds frame rate).
     depth_factor: float = 1.0
+    # radial-tangential distortion (k1, k2, p1, p2, k3) applied to keypoint
+    # coordinates once per frame right after extraction (reference:
+    # Frame::UndistortKeyPoints, Frame.cc:434-469; params from the YAML's
+    # Camera.k1..k3, Tracking.cc:53-148). Zeros = rectified input (stereo
+    # pipelines feed rectified pairs, like the reference).
+    dist: tuple = (0.0, 0.0, 0.0, 0.0, 0.0)
+    # map lifecycle: when the SoA capacities run low the tracker compacts
+    # dead slots and, if still tight, doubles the capacity (grow_map) —
+    # the TPU-native equivalent of the reference's unbounded map
+    # (Map.cc:32-44). Each growth recompiles the pipeline once for the new
+    # shapes; O(log K) recompiles over a sequence of any length.
+    allow_map_growth: bool = True
+
+    @property
+    def has_distortion(self) -> bool:
+        return any(abs(d) > 1e-12 for d in self.dist)
 
     @property
     def cam(self) -> CamParams:
@@ -107,6 +143,13 @@ class Tracker:
         self.cfg = cfg
         self.extractor = OrbExtractor(n_features=cfg.n_features)
         self.map: MapState = empty_map(cfg.map_cfg)
+        # keypoint undistortion model (None when input is rectified)
+        self._undist_cam = None
+        if cfg.has_distortion:
+            from ..models.camera import PinholeCamera
+            self._undist_cam = PinholeCamera.create(
+                cfg.fx, cfg.fy, cfg.cx, cfg.cy, jnp.asarray(cfg.dist),
+                cfg.width, cfg.height)
         self.state = TrackState.NOT_INITIALIZED
         self.last_obs: steps.FrameObs | None = None
         self.last_R = jnp.eye(3)
@@ -118,8 +161,21 @@ class Tracker:
         self.trajectory: list[tuple[int, np.ndarray, np.ndarray]] = []
         self.n_kf_host = 0
         self._n_inliers = 0
+        # keyframe identity across slot recycling: kf_uids[slot] is the
+        # stable uid of the keyframe living in that slot (uid = insertion
+        # order); rel_log keys trajectory reference keyframes by uid, and
+        # compaction archives evicted keyframes' poses under their uid.
+        self.kf_uids: list[int] = []
+        self.kf_archive: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        self._kf_uid_counter = 0
+        self._maintenance_due = False
+        self._counter_fut = None
+        # post-relocalization gates (reference: mnLastRelocFrameId —
+        # 1s keyframe embargo Tracking.cc:1150-1160, widened local search
+        # :1393-1399, raised inlier bar :1119-1126)
+        self.last_reloc_frame = -(10 ** 9)
         self._step = steps.build_track_frame_step(
-            self.extractor, cfg.width, cfg.height)
+            self.extractor, cfg.width, cfg.height, self._undist_cam)
         # place recognition: vocabulary is trained from the first keyframe's
         # descriptors (domain-matched; the reference ships a pre-trained
         # ORBvoc.txt absent from this environment — SURVEY §7.7)
@@ -186,6 +242,11 @@ class Tracker:
             d = jnp.where((d > 0) & ~edge, d, -1.0)
         else:
             d = jnp.full(xy.shape[0], -1.0)
+        # undistort AFTER depth sampling (the depth map is aligned with the
+        # raw image) and BEFORE mvuRight synthesis (the reference computes
+        # mvuRight from undistorted keypoints, Frame.cc:687-698)
+        if self._undist_cam is not None:
+            xy = self._undist_cam.undistort_points(xy)
         ur = steps.make_feature_uvr(xy[:, 0], d, self.cfg.cam.bf)
         fs = FeatureSet(xy, ur, feats.octave, feats.angle, feats.desc, feats.valid)
         return steps.FrameObs(fs, d, jnp.full(xy.shape[0], -1, jnp.int32))
@@ -215,8 +276,13 @@ class Tracker:
         if Rcr is None:
             Rcr, tcr = _rel_to_kf(R, t, self.map.kf_R, self.map.kf_t,
                                   jnp.int32(ref_kf))
+        # log the STABLE uid, not the slot: keyframe compaction recycles
+        # slots, and trajectory export resolves uid -> live slot or the
+        # archived pose (reference: mlpReferences holds KeyFrame pointers
+        # which survive erasure as "bad" husks, Tracking.cc:562-579)
+        ref_uid = self.kf_uids[ref_kf] if ref_kf < len(self.kf_uids) else 0
         self.rel_log.append(
-            (frame_id, self._timestamp, ref_kf, Rcr, tcr))
+            (frame_id, self._timestamp, ref_uid, Rcr, tcr))
 
     # -- main entry ------------------------------------------------------
     def process_rgbd(self, img, depth_map, frame_id=None):
@@ -234,6 +300,7 @@ class Tracker:
         if frame_id is None:
             frame_id = self.frame_count
         self.frame_count += 1
+        self._check_maintenance()
 
         if self.state == TrackState.NOT_INITIALIZED:
             obs = self._frame_obs(img, depth_map)
@@ -262,13 +329,15 @@ class Tracker:
             vel_R, vel_t = (self.velocity if have_vel
                             else (jnp.eye(3), jnp.zeros(3)))
         min_obs = 2 if self.n_kf_host > 2 else 1
+        th_local = (5.0 if frame_id < self.last_reloc_frame + 2 else 3.0)
         res = self._step(
             cfg.cam, self.map, prev_obs, prev_R, prev_t,
             vel_R, vel_t, have_vel, jnp.int32(self.ref_kf),
             jnp.asarray(img), jnp.asarray(depth_map),
             jnp.float32(cfg.depth_factor),
             jnp.float32(cfg.depth_threshold), jnp.int32(cfg.desc_th),
-            jnp.int32(cfg.desc_th_local), jnp.int32(min_obs))
+            jnp.int32(cfg.desc_th_local), jnp.int32(min_obs),
+            jnp.float32(th_local))
         self.map = res.map
         entry = [res, frame_id, None, self.ref_kf, -1]
         self._pending.append(entry)
@@ -325,7 +394,11 @@ class Tracker:
             stats = np.asarray(res.stats)
         mm_in, used_mm, track1_in, local_in, ref_matches, close_pack = (
             int(x) for x in stats)
-        if track1_in < 10 or local_in < 30:
+        # raised local-map bar within 1s of relocalization (reference:
+        # Tracking.cc:1119-1126)
+        min_local = (50 if frame_id < self.last_reloc_frame + self.cfg.fps
+                     else 30)
+        if track1_in < 10 or local_in < min_local:
             self.state = TrackState.LOST
             self.velocity = None
             if self.db is not None:
@@ -359,6 +432,15 @@ class Tracker:
             if corrected is not None:
                 self.map = corrected
 
+    def _poll_gba(self):
+        """Advance a pending chunked global BA by one bounded chunk
+        (reference: the asynchronous GBA thread, LoopClosing.cc:790-901;
+        SURVEY §2.5 P3 — interruption = don't launch the next chunk)."""
+        if self.loop_closer is not None and self.loop_closer.gba_running():
+            out = self.loop_closer.poll_gba(self.map)
+            if out is not None:
+                self.map = out
+
     def flush(self):
         """Finalize the in-flight frames (pipelined RGB-D tracking defers
         decisions by pipeline_depth frames) and any deferred loop
@@ -371,6 +453,119 @@ class Tracker:
                 self._pending.clear()
                 self._open.clear()
         self._finish_pending_loop()
+        # a sequence boundary drains any pending chunked global BA too
+        while self.loop_closer is not None and self.loop_closer.gba_running():
+            self._poll_gba()
+
+    # -- map lifecycle (slot recycling + capacity growth) ------------------
+    # The reference's map grows without bound (Map.cc:32-44; NeedNewKeyFrame
+    # has no capacity clause, Tracking.cc:1140-1244). The SoA map is
+    # fixed-capacity, so the host runs a maintenance pass when slots run
+    # low: compact dead keyframe/landmark slots (culling only clears masks)
+    # and, if the live set itself approaches capacity, double it (grow_map).
+    # Maintenance runs BETWEEN frames with the pipeline drained — in-flight
+    # frames hold feature->landmark id arrays that a compaction would
+    # silently invalidate.
+
+    @property
+    def _kf_margin(self) -> int:
+        # keyframes that may still be created while the trigger is in
+        # flight: one per finalized pending frame, plus slack
+        return self.pipeline_depth + 2
+
+    @property
+    def _lm_margin(self) -> int:
+        # worst case one keyframe-step's worth of new landmarks per pending
+        # frame that turns into a keyframe (~1 per 3 frames, c1b spacing)
+        return (self.pipeline_depth // 3 + 2) * self.cfg.n_features
+
+    def _check_maintenance(self):
+        """Called at every process_* entry: evaluate the async counter
+        fetch and run the (rare) maintenance pass when due."""
+        self._poll_gba()
+        if self._counter_fut is not None and self._counter_fut.done():
+            n_kf, live_kf, n_lm, live_lm = (
+                int(x) for x in self._counter_fut.result())
+            self._counter_fut = None
+            L = self.map.lm_pw.shape[0]
+            if n_lm > L - self._lm_margin:
+                self._maintenance_due = True
+        K = self.map.kf_R.shape[0]
+        if self.n_kf_host >= K - self._kf_margin:
+            self._maintenance_due = True
+        if self._maintenance_due:
+            self.flush()
+            self._run_maintenance()
+            self._maintenance_due = False
+
+    def _run_maintenance(self):
+        from ..mapstate.map import (compact_keyframes, compact_landmarks,
+                                    grow_map, landmark_compaction_order)
+        m = self.map
+        K, L = m.kf_R.shape[0], m.lm_pw.shape[0]
+        n_kf, live_kf, n_lm, live_lm = (
+            int(x) for x in np.asarray(_map_counters(m)))
+        grow_k = grow_l = None
+        # landmarks: compact when there are enough dead slots to matter
+        if n_lm > L - self._lm_margin:
+            if n_lm - live_lm >= min(L // 8, self._lm_margin):
+                old_valid = m.lm_valid
+                order = landmark_compaction_order(old_valid)
+                inv = jnp.zeros(L, jnp.int32).at[order].set(
+                    jnp.arange(L, dtype=jnp.int32))
+                m = compact_landmarks(m)
+                if self.last_obs is not None:
+                    self.last_obs = self.last_obs._replace(
+                        lm=_remap_ids(self.last_obs.lm, inv, old_valid))
+                n_lm = live_lm
+            if n_lm > L - self._lm_margin:
+                grow_l = 2 * L
+        # keyframes: compact culled slots; grow when the live set is large
+        if self.n_kf_host >= K - self._kf_margin:
+            if n_kf - live_kf > 0:
+                m = self._compact_keyframes_host(m)
+            if self.n_kf_host >= K - self._kf_margin:
+                grow_k = 2 * K
+        if grow_k or grow_l:
+            if self.cfg.allow_map_growth:
+                m = grow_map(m, k_max=grow_k or K, l_max=grow_l or L)
+                if grow_k and self.db is not None:
+                    self.db.grow(grow_k)
+            # growth disabled: keyframe insertion refuses at capacity (the
+            # round-1 behavior, kept for fixed-budget benchmarking)
+        self.map = m
+
+    def _compact_keyframes_host(self, m: MapState) -> MapState:
+        """compact_keyframes + the host mirror of its permutation:
+        archive evicted poses by uid, repack kf_uids, remap ref_kf, permute
+        BoW database rows, remap loop-closer slot state."""
+        from ..mapstate.map import compact_keyframes
+        valid = np.asarray(m.kf_valid)
+        n_live = int(valid.sum())
+        # archive evicted keyframes' poses under their stable uid (culled
+        # KFs are redundant — >=90% of their points have >=3 other
+        # observers — so their pose is final enough for trajectory export;
+        # the reference re-chains through the spanning tree instead,
+        # System.cc:376-382)
+        kf_R = np.asarray(m.kf_R)
+        kf_t = np.asarray(m.kf_t)
+        for slot, uid in enumerate(self.kf_uids):
+            if not valid[slot]:
+                self.kf_archive[uid] = (kf_R[slot].copy(), kf_t[slot].copy())
+        # old->new slot map (stable: live keyframes keep temporal order)
+        rank = np.cumsum(valid) - valid
+        old_uids = self.kf_uids
+        self.kf_uids = [u for s, u in enumerate(old_uids) if valid[s]]
+        if valid[self.ref_kf]:
+            self.ref_kf = int(rank[self.ref_kf])
+        else:
+            self.ref_kf = min(int(rank[self.ref_kf]), max(n_live - 1, 0))
+        self.n_kf_host = n_live
+        if self.db is not None:
+            self.db.permute(np.where(valid)[0], n_live)
+        if self.loop_closer is not None:
+            self.loop_closer.remap_slots(rank, valid)
+        return compact_keyframes(m)
 
     def process_mono(self, img, frame_id=None):
         """Track one monocular frame; returns (R, t) or None (reference:
@@ -380,6 +575,7 @@ class Tracker:
         if frame_id is None:
             frame_id = self.frame_count
         self.frame_count += 1
+        self._check_maintenance()
         obs = self._frame_obs(img, None)
         if self.state == TrackState.NOT_INITIALIZED:
             ok = self._initialize_mono(obs, frame_id)
@@ -438,6 +634,8 @@ class Tracker:
             return False
         self.map = steps.scale_map(self.map, jnp.float32(1.0 / med))
         self.n_kf_host = 2
+        self.kf_uids = [0, 1]
+        self._kf_uid_counter = 2
         self.ref_kf = 1
         self.last_kf_frame = frame_id
         self.last_R = self.map.kf_R[1]
@@ -450,10 +648,11 @@ class Tracker:
         from .loop_closing import LoopCloser
         descs = np.asarray(obs.feats.desc)[np.asarray(obs.feats.valid)]
         voc = train_vocabulary(descs, k=8, levels=3, seed=0)
-        self.db = KeyFrameDatabase(voc, self.cfg.map_cfg.k_max)
+        self.db = KeyFrameDatabase(voc, self.map.kf_R.shape[0])
         self.db.add(0, ref.feats.desc, ref.feats.valid)
         self.db.add(1, obs.feats.desc, obs.feats.valid)
-        self.loop_closer = LoopCloser(self.cfg.cam, self.db, fix_scale=False)
+        self.loop_closer = LoopCloser(self.cfg.cam, self.db, fix_scale=False,
+                                      width=self.cfg.width, height=self.cfg.height)
         self._init_obs = None
         return True
 
@@ -464,6 +663,7 @@ class Tracker:
         if frame_id is None:
             frame_id = self.frame_count
         self.frame_count += 1
+        self._check_maintenance()
         obs = self._frame_obs_stereo(img_left, img_right)
         return self._process_obs(obs, frame_id)
 
@@ -502,6 +702,11 @@ class Tracker:
         cfg = self.cfg
         if frame_id is None:
             frame_id = self.frame_count - 1
+        # 1s keyframe embargo after relocalization once the map is mature
+        # (reference: Tracking.cc:1150-1160)
+        if (frame_id < self.last_reloc_frame + cfg.fps
+                and self.n_kf_host > cfg.fps):
+            return False
         frames_since = frame_id - self.last_kf_frame
         need_close = tracked_close < 100 and non_tracked_close > 70
         th_ref = 0.4 if self.n_kf_host < 2 else 0.75
@@ -509,8 +714,8 @@ class Tracker:
         c1b = frames_since >= 3  # emulated mapping-thread duty cycle
         c1c = n_in < ref_matches * 0.25 or need_close
         c2 = (n_in < ref_matches * th_ref or need_close) and n_in > 15
-        if self.n_kf_host >= cfg.map_cfg.k_max:
-            return False
+        if self.n_kf_host >= self.map.kf_R.shape[0]:
+            return False  # at capacity with growth disabled/pending
         return (c1a or c1b or c1c) and c2
 
     # -- phases ----------------------------------------------------------
@@ -528,6 +733,8 @@ class Tracker:
         self.map = steps.create_depth_landmarks(
             self.map, self.cfg.cam, jnp.int32(0), jnp.float32(1e9))
         self.n_kf_host += 1
+        self.kf_uids = [0]
+        self._kf_uid_counter = 1
         self.last_R, self.last_t = R, t
         self.last_obs = obs._replace(lm=self.map.kf_lm[0])
         self.ref_kf = 0
@@ -540,9 +747,10 @@ class Tracker:
         from .loop_closing import LoopCloser
         descs = np.asarray(obs.feats.desc)[np.asarray(obs.feats.valid)]
         voc = train_vocabulary(descs, k=8, levels=3, seed=0)
-        self.db = KeyFrameDatabase(voc, self.cfg.map_cfg.k_max)
+        self.db = KeyFrameDatabase(voc, self.map.kf_R.shape[0])
         self.db.add(0, obs.feats.desc, obs.feats.valid)
-        self.loop_closer = LoopCloser(self.cfg.cam, self.db, fix_scale=True)
+        self.loop_closer = LoopCloser(self.cfg.cam, self.db, fix_scale=True,
+                                      width=self.cfg.width, height=self.cfg.height)
         return True
 
     def _track(self, obs: steps.FrameObs, frame_id):
@@ -575,14 +783,23 @@ class Tracker:
                 self.last_R, self.last_t)
             if int(res.n_inliers) < 10:
                 return None, None, obs, False
-        # local map tracking (th=3 for RGB-D; reference Tracking.cc:1393-1399)
+        # local-map search radius (reference Tracking.cc:1393-1399): th=1,
+        # 3 for RGB-D, 5 within 2 frames of a relocalization
+        if frame_id < self.last_reloc_frame + 2:
+            th_local = 5.0
+        elif cfg.sensor == "rgbd":
+            th_local = 3.0
+        else:
+            th_local = 1.0
         local_mask = steps.local_landmark_mask(self.map, jnp.int32(self.ref_kf))
         res2, self.map = steps.track_local_map(
             cam, self.map, obs.feats, res.lm, res.R, res.t,
-            local_mask, jnp.float32(3.0), cfg.width, cfg.height,
+            local_mask, jnp.float32(th_local), cfg.width, cfg.height,
             jnp.int32(cfg.desc_th_local))
         self._n_inliers = int(res2.n_inliers)
-        if self._n_inliers < 30:
+        # raised bar within 1s of relocalization (reference :1119-1126)
+        min_in = 50 if frame_id < self.last_reloc_frame + cfg.fps else 30
+        if self._n_inliers < min_in:
             return None, None, obs, False
         obs = obs._replace(lm=res2.lm)
         return res2.R, res2.t, obs, True
@@ -612,6 +829,10 @@ class Tracker:
         non_tracked_close = int(np.sum(close & (lm < 0)))
         need_close = tracked_close < 100 and non_tracked_close > 70
         n_in = self._n_inliers
+        # 1s keyframe embargo after relocalization (Tracking.cc:1150-1160)
+        if (self.frame_count - 1 < self.last_reloc_frame + cfg.fps
+                and self.n_kf_host > cfg.fps):
+            return False
         # reference: thRefRatio = 0.75 (0.9 mono), or 0.4 with a single
         # keyframe (Tracking.cc:1205-1210)
         if self.cfg.sensor == "mono":
@@ -628,12 +849,19 @@ class Tracker:
         c1b = frames_since >= 3
         c1c = n_in < ref_matches * 0.25 or need_close
         c2 = (n_in < ref_matches * th_ref or need_close) and n_in > 15
-        if self.n_kf_host >= cfg.map_cfg.k_max:
-            return False
+        if self.n_kf_host >= self.map.kf_R.shape[0]:
+            return False  # at capacity with growth disabled/pending
         return (c1a or c1b or c1c) and c2
 
     def _create_keyframe(self, obs, R, t, frame_id):
         kf = self.n_kf_host
+        if kf >= self.map.kf_R.shape[0]:
+            # hard capacity guard — unreachable when maintenance margins
+            # hold (growth happens _kf_margin keyframes early); refusing is
+            # strictly safer than a clipped out-of-bounds scatter into the
+            # last slot
+            self._maintenance_due = True
+            return
         if self.cfg.sensor == "mono":
             self.map = steps.keyframe_step_mono(
                 self.map, self.cfg.cam, obs, R, t, jnp.int32(frame_id),
@@ -644,9 +872,19 @@ class Tracker:
                 jnp.float32(self.cfg.depth_threshold),
                 self.cfg.width, self.cfg.height)
         self.n_kf_host += 1
+        self.kf_uids.append(self._kf_uid_counter)
+        self._kf_uid_counter += 1
         self.ref_kf = kf
         self.last_kf_frame = frame_id
         self.last_obs = obs._replace(lm=self.map.kf_lm[kf])
+        # async map-counter fetch: drives landmark compaction/growth
+        # decisions without a synchronous readback on the keyframe path
+        z = _map_counters(self.map)
+        try:
+            z.copy_to_host_async()
+        except Exception:
+            pass
+        self._counter_fut = self._reader.submit(np.asarray, z)
         if self.db is not None:
             self.db.add(kf, obs.feats.desc, obs.feats.valid)
             # loop detection: submit device work now, do the host gating on
@@ -655,15 +893,49 @@ class Tracker:
             self._finish_pending_loop()
             self._pending_loop = self.loop_closer.begin(self.map, kf)
 
-    def _relocalize(self, obs: steps.FrameObs, frame_id) -> bool:
-        """Relocalization (reference: Tracking.cc:1582-1778): BoW candidate
-        keyframes -> descriptor matching -> EPnP RANSAC -> pose-only
-        optimization; accept on enough inliers."""
+    def _reloc_project_round(self, obs, c, frame_lm, R, t, th, desc_th):
+        """One escalation round of relocalization (reference:
+        Tracking.cc:1716-1752): project the candidate keyframe's landmarks
+        into the frame at the current pose estimate (SearchByProjection
+        with radius th, descriptor gate ORBdist), add the new matches, and
+        re-run pose-only optimization."""
         from ..matching import search as ms
-        from ..matching.search import INV_SIGMA2, SIGMA2
+        m = self.map
+        cfg = self.cfg
+        kf_lm = m.kf_lm[c]
+        safe_lm = jnp.clip(kf_lm, 0)
+        has = (kf_lm >= 0) & m.kf_feat_valid[c] & m.lm_valid[safe_lm]
+        # exclude landmarks already matched into the frame
+        L = m.lm_pw.shape[0]
+        already_lm = jnp.zeros(L, bool).at[jnp.clip(frame_lm, 0)].set(
+            frame_lm >= 0)
+        has = has & ~already_lm[safe_lm]
+        lmset = ms.LandmarkSet(
+            m.lm_pw[safe_lm], m.lm_normal[safe_lm], m.lm_dmin[safe_lm],
+            m.lm_dmax[safe_lm], m.lm_desc[safe_lm], has)
+        fr = ms.frustum_check(cfg.cam, R, t, lmset, cfg.width, cfg.height)
+        feat_used = frame_lm >= 0
+        idx, dist, matched = ms.search_local_points(
+            cfg.cam, R, t, lmset, fr, obs.feats, th=jnp.float32(th),
+            already_matched=feat_used, desc_th=jnp.int32(desc_th))
+        safe_idx = jnp.where(matched, idx, 0)
+        frame_lm = frame_lm.at[safe_idx].set(
+            jnp.where(matched, safe_lm, frame_lm[safe_idx]))
+        tr = steps._pose_optimize_from_matches(
+            cfg.cam, m, obs.feats, frame_lm, R, t)
+        return tr, frame_lm
+
+    def _relocalize(self, obs: steps.FrameObs, frame_id) -> bool:
+        """Relocalization (reference: Tracking.cc:1582-1778): gated BoW
+        candidates -> descriptor matching -> EPnP RANSAC -> pose-only
+        optimization -> ESCALATING projection-search rounds (th=10 /
+        ORBdist=100, then th=3 / ORBdist=64) until >=50 inliers, round-
+        robin over candidates."""
+        from ..matching import search as ms
+        from ..matching.search import SIGMA2
         from ..solvers import pnp
         cands = self.db.detect_reloc_candidates(
-            self.map, obs.feats.desc, obs.feats.valid, max_candidates=3)
+            self.map, obs.feats.desc, obs.feats.valid, max_candidates=5)
         m = self.map
         cam = self.cfg.cam
         K = (self.cfg.fx, self.cfg.fy, self.cfg.cx, self.cfg.cy)
@@ -682,8 +954,7 @@ class Tracker:
             frame_lm = frame_lm.at[safe].set(jnp.where(matched, kf_lm, -1))
             has = (frame_lm >= 0) & obs.feats.valid
             Xw = m.lm_pw[jnp.clip(frame_lm, 0)]
-            import jax as _jax
-            key = _jax.random.PRNGKey(self.frame_count)
+            key = jax.random.PRNGKey(self.frame_count)
             res = pnp.solve_ransac(
                 key, K, Xw, obs.feats.xy,
                 jnp.asarray(SIGMA2)[obs.feats.octave], has,
@@ -692,14 +963,30 @@ class Tracker:
                 continue
             tr = steps._pose_optimize_from_matches(
                 cam, m, obs.feats, frame_lm, res.R, res.t)
-            if int(tr.n_inliers) < 50:  # reference accepts at >=50 (:1752)
+            n_good = int(tr.n_inliers)
+            if n_good < 10:
+                continue
+            if n_good < 50:
+                # escalation round 1: wide search, loose descriptor gate
+                # (reference :1716-1729, th=10, ORBdist=100)
+                tr, frame_lm = self._reloc_project_round(
+                    obs, c, tr.lm, tr.R, tr.t, th=10.0, desc_th=100)
+                n_good = int(tr.n_inliers)
+                if 30 <= n_good < 50:
+                    # round 2: narrow search, tight gate (:1735-1750,
+                    # th=3, ORBdist=64)
+                    tr, frame_lm = self._reloc_project_round(
+                        obs, c, tr.lm, tr.R, tr.t, th=3.0, desc_th=64)
+                    n_good = int(tr.n_inliers)
+            if n_good < 50:  # reference accepts at >=50 (:1752)
                 continue
             self.last_R, self.last_t = tr.R, tr.t
             self.last_obs = obs._replace(lm=tr.lm)
             self.ref_kf = c
             self.velocity = None
             self.state = TrackState.OK
-            self._n_inliers = int(tr.n_inliers)
+            self._n_inliers = n_good
+            self.last_reloc_frame = frame_id
             self._log_pose(frame_id, tr.R, tr.t)
             return True
         return False

@@ -47,6 +47,24 @@ class KeyFrameDatabase:
     def add(self, kf: int, desc: jax.Array, valid: jax.Array):
         self.bow = self._add(self.bow, kf, desc, valid)
 
+    def permute(self, live_slots: np.ndarray, n_live: int):
+        """Mirror a keyframe compaction (mapstate.compact_keyframes): live
+        rows move to the front in order, evicted rows are zeroed (the
+        reference erases culled keyframes from the inverted file,
+        KeyFrameDatabase::erase)."""
+        k_max = self.bow.shape[0]
+        order = np.zeros(k_max, np.int32)
+        order[:n_live] = live_slots[:n_live]
+        bow = self.bow[jnp.asarray(order)]
+        mask = jnp.arange(k_max) < n_live
+        self.bow = jnp.where(mask[:, None], bow, 0.0)
+
+    def grow(self, k_max: int):
+        """Re-pad the row dimension after map capacity growth."""
+        k0 = self.bow.shape[0]
+        if k_max > k0:
+            self.bow = jnp.pad(self.bow, ((0, k_max - k0), (0, 0)))
+
     def frame_vector(self, desc: jax.Array, valid: jax.Array) -> jax.Array:
         return self._frame_vec(desc, valid)
 
@@ -87,9 +105,41 @@ class KeyFrameDatabase:
     def detect_reloc_candidates(self, m: MapState, desc: jax.Array,
                                 valid: jax.Array,
                                 max_candidates: int = 5) -> list[int]:
-        """Relocalization candidates for a frame (reference :199-309)."""
+        """Relocalization candidates for a frame with the reference's
+        gating (reference: DetectRelocalizationCandidates :199-309):
+        accumulate each candidate's score over its top-10 covisibility
+        group, keep groups above 0.75 x best accumulated score, and return
+        each surviving group's best member, ordered by accumulated score.
+        (The inverted file's shared-word prefilters are subsumed by the
+        dense scoring: a zero-word-overlap keyframe scores 0.)"""
         vec = self.frame_vector(desc, valid)
         s = np.asarray(self.scores(vec, m.kf_valid))
-        order = np.argsort(-s)
-        out = [int(i) for i in order[:max_candidates] if s[i] > 0]
-        return out
+        s = np.where(np.asarray(m.kf_valid), s, -1.0)
+        cand = np.where(s > 0)[0]
+        if len(cand) == 0:
+            return []
+        # keep the strongest prefilter the dense path can express: drop
+        # candidates far below the best raw score (the reference's
+        # 0.8 * maxCommonWords shared-word gate plays this role)
+        cand = cand[s[cand] >= 0.8 * s[cand].max()]
+        covis = np.asarray(covisibility_matrix(m))
+        acc: dict[int, float] = {}
+        best_of_group: dict[int, int] = {}
+        for c in cand:
+            wc = covis[int(c)]
+            group = np.argsort(-wc)[:10]
+            group = [int(g) for g in group if wc[g] > 0] + [int(c)]
+            g_scores = [(s[g], g) for g in group if s[g] > 0]
+            acc[int(c)] = (float(sum(v for v, _ in g_scores))
+                           if g_scores else float(s[c]))
+            best_of_group[int(c)] = (max(g_scores)[1] if g_scores
+                                     else int(c))
+        best_acc = max(acc.values())
+        keep = [(a, best_of_group[c]) for c, a in acc.items()
+                if a >= 0.75 * best_acc]
+        keep.sort(key=lambda x: -x[0])
+        out: list[int] = []
+        for _, g in keep:
+            if g not in out:
+                out.append(g)
+        return out[:max_candidates]

@@ -86,10 +86,12 @@ class System:
 
     def __init__(self, config: TrackerConfig | None = None,
                  sensor: Sensor = Sensor.RGBD, settings_path: str | None = None,
-                 use_viewer: bool = False, viewer_port: int = 8765):
+                 use_viewer: bool = False, viewer_port: int = 8765,
+                 expected_frames: int | None = None):
         if config is None and settings_path is not None:
             from .dataio.settings import load_tracker_config
-            config = load_tracker_config(settings_path)
+            config = load_tracker_config(settings_path,
+                                         expected_frames=expected_frames)
         if config is None:
             config = TrackerConfig()
         config.sensor = _SENSOR_NAME[sensor]
@@ -184,7 +186,16 @@ class System:
 
     # -- trajectory export (reference: System.cc:336-486) ----------------
     def _chain_poses(self, keyframes_only: bool = False):
-        """Resolve the relative-pose chain to absolute Tcw per frame."""
+        """Resolve the relative-pose chain to absolute Tcw per frame.
+
+        rel_log references keyframes by stable uid (slots are recycled by
+        map compaction): a uid still living in a slot uses the CURRENT map
+        pose — loop-closure / GBA corrections propagate into saved
+        trajectories exactly like the reference's Trw chains — while a uid
+        evicted by compaction uses its archived pose (the reference walks
+        the spanning tree to the first non-bad parent, System.cc:376-382;
+        culled keyframes here are >=90% redundant so their final pose is
+        already consistent with the survivors)."""
         tr = self.tracker
         tr.flush()
         m = tr.map
@@ -199,11 +210,19 @@ class System:
                 ts = ts_by_frame.get(int(frame_ids[k]), float(frame_ids[k]))
                 rows.append((ts, kf_R[k], kf_t[k]))
             return rows
-        for frame_id, ts, ref, Rcr, tcr in tr.rel_log:
+        slot_of_uid = {uid: slot for slot, uid in enumerate(tr.kf_uids)}
+        for frame_id, ts, ref_uid, Rcr, tcr in tr.rel_log:
             Rcr = np.asarray(Rcr)
             tcr = np.asarray(tcr)
-            Rcw = Rcr @ kf_R[ref]
-            tcw = Rcr @ kf_t[ref] + tcr
+            slot = slot_of_uid.get(ref_uid)
+            if slot is not None:
+                Rr, tr_ = kf_R[slot], kf_t[slot]
+            elif ref_uid in tr.kf_archive:
+                Rr, tr_ = tr.kf_archive[ref_uid]
+            else:  # pre-compaction log against a never-archived uid: skip
+                continue
+            Rcw = Rcr @ Rr
+            tcw = Rcr @ tr_ + tcr
             rows.append((ts, Rcw, tcw))
         return rows
 
