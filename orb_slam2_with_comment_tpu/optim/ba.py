@@ -287,3 +287,166 @@ def ba_solve(
     R = se3.orthonormalize(R)  # keyframe poses re-enter tracking chains
     obs_chi2 = _eval_chi2(cam, prob, R, t, X)
     return BAResult(R, t, X, jnp.sum(obs_chi2), obs_chi2)
+
+
+# ---------------------------------------------------------------------------
+# dataset-scale BA: Schur + preconditioned CG, nothing dense in P
+# ---------------------------------------------------------------------------
+#
+# ba_solve materializes a one-hot [D, L, P] observation->pose tensor and the
+# dense reduced camera system [P*6, P*6] — the right trade at local-BA
+# window sizes (P <= ~24: everything is matmuls, zero scatters), but
+# quadratic-in-P memory makes it unusable for global BA over a KITTI-scale
+# map (P ~ 1300, L ~ 10^5). ba_solve_cg keeps the SAME BAProblem layout and
+# solves the reduced camera system ITERATIVELY: per LM step the Schur
+# matvec S v = Hpp v - Hpl Hll^-1 Hlp v is evaluated through the
+# landmark-major observation table (landmark-side contractions are einsums
+# over the D slot axis — the table layout IS the Hll block structure — and
+# only the pose side needs segment-sums), with block-Jacobi (Hpp^-1)
+# preconditioned CG. Memory is O(L*D) and the per-iteration cost is
+# O(L*D*36) FLOPs — global BA over the whole map in bounded chunks
+# (reference: GlobalBundleAdjustemnt Optimizer.cc:41-255, 10 iterations,
+# interruptible; SURVEY §2.5 P3/P6).
+
+
+def _batched_inv6(M: jax.Array) -> jax.Array:
+    """[P,6,6] block inverse (batched LU; blocks are damped SPD + identity
+    rows for fixed poses, so this is well-conditioned)."""
+    return jnp.linalg.inv(M)
+
+
+def ba_solve_cg(
+    cam: CamParams,
+    prob: BAProblem,
+    iters: int = 10,
+    cg_iters: int = 40,
+    robust: bool = True,
+    init_lambda: float = 1e-4,
+) -> BAResult:
+    """LM bundle adjustment with CG-on-Schur (see module comment above)."""
+    from .residuals import reproj_jacobians
+
+    P = prob.R.shape[0]
+    L, D = prob.obs_w.shape
+    flat_pose = prob.obs_pose.reshape(-1)
+    is_stereo = prob.obs_uvr[..., 2] >= 0
+    delta_h = jnp.where(is_stereo, HUBER_STEREO, HUBER_MONO)
+    active = (prob.obs_w > 0) & prob.point_valid[:, None]
+    w_active = jnp.where(active, prob.obs_w, 0.0)
+    free_pose = ~prob.pose_fixed
+    hi = jax.lax.Precision.HIGH
+
+    def chi2_at(R, t, X):
+        Rp, tp = R[prob.obs_pose], t[prob.obs_pose]
+        Xc = jnp.einsum("ldij,lj->ldi", Rp, X) + tp
+        z = jnp.where(jnp.abs(Xc[..., 2]) < 1e-9, 1e-9, Xc[..., 2])
+        iz = 1.0 / z
+        u = cam.fx * Xc[..., 0] * iz + cam.cx
+        v = cam.fy * Xc[..., 1] * iz + cam.cy
+        ur = u - cam.bf * iz
+        srow = is_stereo.astype(jnp.float32)
+        e2 = ((prob.obs_uvr[..., 0] - u) ** 2
+              + (prob.obs_uvr[..., 1] - v) ** 2
+              + ((prob.obs_uvr[..., 2] - ur) * srow) ** 2)
+        return e2 * w_active
+
+    def iteration(carry, _):
+        R, t, X, lam = carry
+        Rp, tp = R[prob.obs_pose], t[prob.obs_pose]
+        e, Jp, Jl = reproj_jacobians(cam, Rp, tp, X[:, None, :],
+                                     prob.obs_uvr)
+        chi2_i = jnp.sum(e * e, axis=-1) * prob.obs_w
+        w_rob = huber_weight(chi2_i, delta_h) if robust \
+            else jnp.ones_like(chi2_i)
+        w = w_active * w_rob  # [L, D]
+        Jp = Jp * free_pose[prob.obs_pose].astype(Jp.dtype)[..., None, None]
+        wJp = w[..., None, None] * Jp
+        wJl = w[..., None, None] * Jl
+        # landmark-side blocks: einsums over the slot axis (no scatters)
+        Hll = jnp.einsum("ldri,ldrj->lij", wJl, Jl, precision=hi)
+        bl = jnp.einsum("ldri,ldr->li", wJl, e, precision=hi)
+        # pose-side diagonal blocks: ONE segment-sum over observations
+        Hpp = jax.ops.segment_sum(
+            jnp.einsum("ldri,ldrj->ldij", wJp, Jp,
+                       precision=hi).reshape(-1, 6, 6),
+            flat_pose, num_segments=P)
+        bp = jax.ops.segment_sum(
+            jnp.einsum("ldri,ldr->ldi", wJp, e,
+                       precision=hi).reshape(-1, 6),
+            flat_pose, num_segments=P)
+        Y = jnp.einsum("ldri,ldrj->ldij", wJp, Jl, precision=hi)  # [L,D,6,3]
+        diag_ll = jnp.clip(jnp.diagonal(Hll, axis1=-2, axis2=-1), 1e-6, None)
+        Hll_d = Hll + lam * diag_ll[..., None] * jnp.eye(3, dtype=Hll.dtype)
+        Hll_d = jnp.where(prob.point_valid[:, None, None], Hll_d,
+                          jnp.eye(3, dtype=Hll.dtype))
+        Hll_inv = _inv3x3(Hll_d)
+        diag_pp = jnp.clip(jnp.diagonal(Hpp, axis1=-2, axis2=-1), 1e-6, None)
+        Hpp_d = Hpp + lam * jax.vmap(jnp.diag)(diag_pp)
+        eye6 = jnp.eye(6, dtype=Hpp.dtype)
+        Hpp_d = jnp.where(free_pose[:, None, None], Hpp_d, eye6)
+        Minv = _batched_inv6(Hpp_d)  # block-Jacobi preconditioner
+
+        def S_mv(v):  # v [P, 6] -> S v
+            vp = v[prob.obs_pose]  # [L, D, 6]
+            a = jnp.einsum("ldij,ldi->lj", Y, vp, precision=hi)  # [L, 3]
+            y = jnp.einsum("lij,lj->li", Hll_inv, a, precision=hi)
+            c = jnp.einsum("ldij,lj->ldi", Y, y, precision=hi)  # [L, D, 6]
+            s = jax.ops.segment_sum(c.reshape(-1, 6), flat_pose,
+                                    num_segments=P)
+            out = jnp.einsum("pij,pj->pi", Hpp_d, v, precision=hi) - s
+            return jnp.where(free_pose[:, None], out, v)
+
+        # rhs of S dxi = -b_s with b_s = bp - Hpl Hll^-1 bl
+        yb = jnp.einsum("lij,lj->li", Hll_inv, bl, precision=hi)
+        corr = jax.ops.segment_sum(
+            jnp.einsum("ldij,lj->ldi", Y, yb,
+                       precision=hi).reshape(-1, 6),
+            flat_pose, num_segments=P)
+        b_s = jnp.where(free_pose[:, None], bp - corr, 0.0)
+        rhs = -b_s
+
+        def cg_body(cgc, _):
+            x, r, z, p, rz = cgc
+            Ap = S_mv(p)
+            pAp = jnp.sum(p * Ap)
+            alpha = rz / jnp.where(jnp.abs(pAp) < 1e-20, 1e-20, pAp)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            z = jnp.einsum("pij,pj->pi", Minv, r, precision=hi)
+            rz_new = jnp.sum(r * z)
+            beta = rz_new / jnp.where(jnp.abs(rz) < 1e-20, 1e-20, rz)
+            p = z + beta * p
+            return (x, r, z, p, rz_new), None
+
+        x0 = jnp.zeros_like(rhs)
+        r0 = rhs
+        z0 = jnp.einsum("pij,pj->pi", Minv, r0, precision=hi)
+        (dxi, *_), _ = jax.lax.scan(
+            cg_body, (x0, r0, z0, z0, jnp.sum(r0 * z0)), None,
+            length=cg_iters)
+        dxi = jnp.where(free_pose[:, None], dxi, 0.0)
+
+        # back-substitute landmarks
+        Yt_dxi = jnp.einsum("ldij,ldi->lj", Y, dxi[prob.obs_pose],
+                            precision=hi)
+        dX = -jnp.einsum("lij,lj->li", Hll_inv, bl + Yt_dxi, precision=hi)
+        dX = jnp.where(prob.point_valid[:, None], dX, 0.0)
+
+        R_new, t_new = se3.retract(R, t, dxi)
+        X_new = X + dX
+        chi2_old = jnp.sum(jnp.where(active, chi2_i, 0.0))
+        chi2_new = jnp.sum(chi2_at(R_new, t_new, X_new))
+        finite = jnp.all(jnp.isfinite(dxi)) & jnp.all(jnp.isfinite(dX))
+        ok = (chi2_new < chi2_old) & finite
+        R = jnp.where(ok, R_new, R)
+        t = jnp.where(ok, t_new, t)
+        X = jnp.where(ok, X_new, X)
+        lam = jnp.where(ok, lam * 0.5, lam * 5.0).clip(1e-9, 1e8)
+        return (R, t, X, lam), chi2_old
+
+    (R, t, X, _), _ = jax.lax.scan(
+        iteration, (prob.R, prob.t, prob.X, jnp.float32(init_lambda)),
+        None, length=iters)
+    R = se3.orthonormalize(R)
+    obs_chi2 = chi2_at(R, t, X)
+    return BAResult(R, t, X, jnp.sum(obs_chi2), obs_chi2)

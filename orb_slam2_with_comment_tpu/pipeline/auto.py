@@ -247,7 +247,8 @@ def build_auto_step(extractor: OrbExtractor, cfg: TrackerConfig,
                 # LocalMapping feeds LoopClosing, LocalMapping.cc:102)
                 m, loop = auto_loop.close_loop_step(
                     loop, m, cam, kf, voc,
-                    fix_scale=cfg.sensor != "mono")
+                    fix_scale=cfg.sensor != "mono",
+                    width=width, height=height)
             elif has_voc:
                 # BoW rows still maintained for relocalization
                 loop = auto_loop.add_keyframe_bow(

@@ -64,6 +64,9 @@ class LoopCarry(NamedTuple):
     last_loop_kf: jax.Array  # [] int32 keyframe slot of last closed loop
     n_loops: jax.Array  # [] int32
     key: jax.Array  # PRNG key for Sim3 RANSAC
+    # accepted loop edges (upper-triangular bool): the reference's
+    # essential graph includes ALL past loop edges (Optimizer.cc:908-919)
+    loop_edges: jax.Array  # [K, K] bool
 
 
 def empty_loop_carry(k_max: int, n_words: int) -> LoopCarry:
@@ -74,6 +77,7 @@ def empty_loop_carry(k_max: int, n_words: int) -> LoopCarry:
         last_loop_kf=jnp.int32(-MIN_GAP),
         n_loops=jnp.int32(0),
         key=jax.random.PRNGKey(7),
+        loop_edges=jnp.zeros((k_max, k_max), bool),
     )
 
 
@@ -168,14 +172,22 @@ def _sim3_solve(loop: LoopCarry, m: MapState, cam, kf, cand, fix_scale: bool):
         1.0 / s2_1, 1.0 / s2_2, res.inliers, iters=10, fix_scale=fix_scale)
     ok = ((n_matches >= 20) & (res.n_inliers >= 20)
           & (ref.n_inliers >= 20))  # reference :333,408
-    return ok, ref.R, ref.t, ref.s, key
+    # matched landmark pairs for the correction's Replace pass
+    pair_ok = ref.inliers & valid & (l1 != l2)
+    lm_cur = jnp.where(pair_ok, l1, -1)
+    lm_cand = jnp.where(pair_ok, l2, -1)
+    return ok, ref.R, ref.t, ref.s, key, lm_cur, lm_cand, pair_ok
 
 
-def _correct(m: MapState, cam, kf, cand, R12, t12, s12,
-             fix_scale: bool) -> MapState:
+def _correct(m: MapState, cam, kf, cand, R12, t12, s12, fix_scale: bool,
+             lm_cur, lm_cand, pair_ok, loop_edges, width: int,
+             height: int) -> MapState:
     """CorrectLoop on device: Sim3 propagation over the current
-    covisibility group, landmark correction, essential-graph optimization
-    with static masked all-pairs edges, bounded global BA."""
+    covisibility group, landmark correction, matched-pair Replace,
+    SearchAndFuse welding, essential-graph optimization with the
+    reference's edge families, bounded global BA."""
+    from ..mapstate.map import merge_landmarks
+    from . import steps
     K = m.kf_R.shape[0]
     # corrected current pose: S_cur_w = S12 o T_cand_w
     Rc, tc, sc = sim3.compose(R12, t12, s12,
@@ -186,6 +198,11 @@ def _correct(m: MapState, cam, kf, cand, R12, t12, s12,
     Rgi, tgi, sgi = sim3.inverse(Rg, tg, sg)
     w = covisibility_weights(m, kf)
     gm = (w > 0) | (jnp.arange(K) == kf)
+    # pre-propagation poses: essential-graph edge measurements must come
+    # from the UNCORRECTED estimates (the reference's NonCorrectedSim3,
+    # LoopClosing.cc:546-580) or every non-loop edge starts at zero
+    # residual and the graph distributes nothing
+    R_old_all, t_old_all = m.kf_R, m.kf_t
     Ri, ti, si = sim3.compose(
         m.kf_R, m.kf_t, jnp.ones(K),
         jnp.broadcast_to(Rgi, (K, 3, 3)), jnp.broadcast_to(tgi, (K, 3)),
@@ -198,22 +215,52 @@ def _correct(m: MapState, cam, kf, cand, R12, t12, s12,
     lm_pw = jnp.where(lm_ref_in_group[:, None], pw_corr, m.lm_pw)
     m = m._replace(kf_R=kf_R, kf_t=kf_t, lm_pw=lm_pw)
 
-    # --- essential graph: static all-pairs edges masked by weight >= 15,
-    # plus the loop edge; loop keyframe + gauge keyframe fixed ---
+    # --- matched-pair Replace (reference :638-661): loop landmark wins ---
+    rep_ok = pair_ok & (lm_cur >= 0) & (lm_cand >= 0) & (lm_cur != lm_cand)
+    m = merge_landmarks(m, jnp.clip(lm_cand, 0), jnp.clip(lm_cur, 0), rep_ok)
+
+    # --- SearchAndFuse (reference :661-692, :725-754): project the loop
+    # group's landmarks into the corrected keyframes ---
+    w_cand = covisibility_weights(m, cand)
+    loop_gm = (w_cand > 0) | (jnp.arange(K) == cand)
+    obs_in_loop = jnp.any(
+        loop_gm[jnp.clip(m.lm_obs_kf, 0)] & (m.lm_obs_kf >= 0), axis=1)
+    top_w, top_i = prims.sort_top_k(w, 15)
+    group_kfs = jnp.concatenate(
+        [kf[None].astype(jnp.int32),
+         jnp.where(top_w > 0, top_i.astype(jnp.int32), -1)])
+    m = steps.loop_search_and_fuse(m, cam, obs_in_loop, group_kfs,
+                                   width, height)
+
+    # --- essential graph (reference: Optimizer.cc:908-1053 edge families:
+    # loop edges incl. past ones + spanning-tree equivalent temporal chain
+    # + covisibility w >= 100), static all-pairs edges masked ---
     W_cov = covisibility_matrix(m)
     iu, ju = np.triu_indices(K, k=1)
     e_i = jnp.asarray(iu, jnp.int32)
     e_j = jnp.asarray(ju, jnp.int32)
     w_e = W_cov[e_i, e_j]
     is_loop_edge = (((e_i == jnp.minimum(kf, cand))
-                     & (e_j == jnp.maximum(kf, cand))))
-    e_valid = ((w_e >= 15) | is_loop_edge) & m.kf_valid[e_i] & m.kf_valid[e_j]
-    Ri_, ti_ = m.kf_R[e_i], m.kf_t[e_i]
-    Rj_, tj_ = m.kf_R[e_j], m.kf_t[e_j]
+                     & (e_j == jnp.maximum(kf, cand)))
+                    | loop_edges[e_i, e_j] | loop_edges[e_j, e_i])
+    # temporal chain between consecutive LIVE slots (the spanning tree's
+    # connectivity guarantee; parent = temporal predecessor in practice)
+    live = m.kf_valid.astype(jnp.int32)
+    rank = jnp.cumsum(live) - live
+    is_chain = (m.kf_valid[e_i] & m.kf_valid[e_j]
+                & (rank[e_j] == rank[e_i] + 1))
+    e_valid = (((w_e >= 100) | is_loop_edge | is_chain)
+               & m.kf_valid[e_i] & m.kf_valid[e_j])
+    # measurements: pre-propagation poses everywhere EXCEPT loop edges,
+    # which carry the new (corrected) constraint
+    use_new = is_loop_edge[:, None, None]
+    Ri_ = jnp.where(use_new, m.kf_R[e_i], R_old_all[e_i])
+    ti_ = jnp.where(use_new[:, :, 0], m.kf_t[e_i], t_old_all[e_i])
+    Rj_ = jnp.where(use_new, m.kf_R[e_j], R_old_all[e_j])
+    tj_ = jnp.where(use_new[:, :, 0], m.kf_t[e_j], t_old_all[e_j])
     iRi, iti = se3.inverse(Ri_, ti_)
     mR, mt = se3.compose(Rj_, tj_, iRi, iti)
-    fixed = (jnp.zeros(K, bool).at[0].set(True)
-             .at[cand].set(True) | ~m.kf_valid)
+    fixed = (jnp.zeros(K, bool).at[cand].set(True) | ~m.kf_valid)
     prob = pose_graph.PoseGraphProblem(
         m.kf_R, m.kf_t, jnp.ones(K), e_i, e_j, mR, mt,
         jnp.ones(e_i.shape[0]), e_valid, fixed)
@@ -230,7 +277,9 @@ def _correct(m: MapState, cam, kf, cand, R12, t12, s12,
     kf_t_new = res.t / jnp.clip(res.s, 1e-9, None)[:, None]
     m = m._replace(kf_R=res.R, kf_t=kf_t_new, lm_pw=lm_pw)
 
-    # --- bounded global BA (reference: GBA 10 iters, LoopClosing.cc:795) ---
+    # --- bounded global BA (reference: GBA 10 iters, LoopClosing.cc:795).
+    # Dense Schur for small maps (all-matmul), CG-on-Schur beyond (the
+    # one-hot [D,L,P] tensor is quadratic-in-P memory) ---
     obs_valid = m.lm_obs_kf >= 0
     kf_idx = jnp.clip(m.lm_obs_kf, 0)
     feat_idx = m.lm_obs_feat
@@ -243,13 +292,17 @@ def _correct(m: MapState, cam, kf, cand, R12, t12, s12,
     fixed_ba = jnp.zeros(K, bool).at[0].set(True) | ~m.kf_valid
     prob_ba = ba.BAProblem(m.kf_R, m.kf_t, m.lm_pw, kf_idx, uvr, wgt,
                            fixed_ba, m.lm_valid)
-    res_ba = ba.ba_solve(cam, prob_ba, iters=10, robust=True)
+    if K <= 64:
+        res_ba = ba.ba_solve(cam, prob_ba, iters=10, robust=True)
+    else:
+        res_ba = ba.ba_solve_cg(cam, prob_ba, iters=10, robust=True)
     m = m._replace(kf_R=res_ba.R, kf_t=res_ba.t, lm_pw=res_ba.X)
     return rebuild_observations(m)
 
 
 def close_loop_step(loop: LoopCarry, m: MapState, cam, kf, voc,
-                    fix_scale: bool) -> tuple[MapState, LoopCarry]:
+                    fix_scale: bool, width: int = 640,
+                    height: int = 480) -> tuple[MapState, LoopCarry]:
     """Full loop-closing pass for a freshly inserted keyframe ``kf``:
     BoW row -> detection -> consistency -> (cond) Sim3 -> (cond) correction.
     Pure; intended to run inside the keyframe branch of the autonomous
@@ -259,15 +312,19 @@ def close_loop_step(loop: LoopCarry, m: MapState, cam, kf, voc,
 
     def try_sim3(args):
         m, loop = args
-        ok, R12, t12, s12, key = _sim3_solve(
+        ok, R12, t12, s12, key, lm_cur, lm_cand, pair_ok = _sim3_solve(
             loop, m, cam, kf, cand, fix_scale)
         loop = loop._replace(key=key)
 
         def do_correct(args):
             m, loop = args
-            m = _correct(m, cam, kf, cand, R12, t12, s12, fix_scale)
+            m = _correct(m, cam, kf, cand, R12, t12, s12, fix_scale,
+                         lm_cur, lm_cand, pair_ok, loop.loop_edges,
+                         width, height)
+            i, j = jnp.minimum(kf, cand), jnp.maximum(kf, cand)
             return m, loop._replace(
-                last_loop_kf=kf, n_loops=loop.n_loops + 1)
+                last_loop_kf=kf, n_loops=loop.n_loops + 1,
+                loop_edges=loop.loop_edges.at[i, j].set(True))
 
         return jax.lax.cond(ok, do_correct, lambda a: a, (m, loop))
 

@@ -28,14 +28,30 @@ from ..optim import ba, pose_graph, sim3_opt
 from ..optim.residuals import CamParams
 from ..place.database import KeyFrameDatabase
 from ..solvers import sim3solver
+from typing import NamedTuple
+
+
+class Sim3Result(NamedTuple):
+    """Accepted loop transform + the landmark matches that supported it
+    (needed by the correction's Replace pass, reference
+    LoopClosing.cc:638-661)."""
+    R: jax.Array  # maps candidate-camera coords into current-camera coords
+    t: jax.Array
+    s: float
+    n_inliers: int
+    lm_cur: jax.Array   # [N] current-KF landmark per matched pair
+    lm_cand: jax.Array  # [N] loop-KF landmark per matched pair
+    pair_ok: jax.Array  # [N] bool inlier mask
 
 
 class LoopCloser:
     def __init__(self, cam: CamParams, db: KeyFrameDatabase,
                  fix_scale: bool = True, covis_consistency: int = 3,
-                 min_gap: int = 10):
+                 min_gap: int = 10, width: int = 640, height: int = 480):
         self.cam = cam
         self.db = db
+        self.width = int(width)
+        self.height = int(height)
         self.fix_scale = fix_scale
         self.consistency_th = covis_consistency
         self.min_gap = min_gap  # >=10 keyframes since last loop (ref :116)
@@ -43,6 +59,20 @@ class LoopCloser:
         self.prev_groups: list[tuple[set[int], int]] = []
         self.key = jax.random.PRNGKey(7)
         self.n_loops_closed = 0
+        # accepted loop edges, kept across closures: the reference's
+        # essential graph includes ALL past loop edges
+        # (KeyFrame::GetLoopEdges, Optimizer.cc:908-919)
+        self.loop_edges: list[tuple[int, int]] = []
+        # asynchronous global BA (reference: RunGlobalBundleAdjustment
+        # thread, LoopClosing.cc:711,790-901): the 10 GBA iterations run
+        # as bounded chunks polled once per frame (poll_gba), on a problem
+        # SNAPSHOT taken at correction time; a newer loop aborts a
+        # still-running GBA exactly like the reference's mnFullBAIdx
+        # generation counter (:518-530, 794-803)
+        self._gba = None
+        self.gba_generation = 0
+        self.gba_chunk_iters = 2
+        self.gba_total_iters = 10
         # ONE device program for the whole detection pass (covisibility
         # matrix + BoW scores); separate eager calls each paid a tunnel
         # round trip (~23 ms) per keyframe
@@ -53,6 +83,28 @@ class LoopCloser:
             return covisibility_matrix(m), s
 
         self._detect_dev = jax.jit(_detect_dev)
+
+    def remap_slots(self, rank: np.ndarray, valid: np.ndarray):
+        """Mirror a keyframe compaction: remap slot-keyed detection state
+        (last loop keyframe, covisibility-consistency groups) through the
+        old->new slot map; members of consistency groups that were culled
+        simply drop out."""
+        if 0 <= self.last_loop_kf < len(rank):
+            self.last_loop_kf = int(rank[self.last_loop_kf])
+        self.prev_groups = [
+            ({int(rank[j]) for j in group if 0 <= j < len(valid) and valid[j]},
+             count)
+            for group, count in self.prev_groups]
+        self.prev_groups = [(g, c) for g, c in self.prev_groups if g]
+        # accepted loop edges survive compaction only while both endpoints
+        # live (a culled endpoint means the constraint is already absorbed)
+        self.loop_edges = [
+            (int(rank[i]), int(rank[j])) for i, j in self.loop_edges
+            if i < len(valid) and j < len(valid) and valid[i] and valid[j]]
+        # a pending GBA snapshot is keyed by pre-compaction slots: abort it
+        # (the next loop, or nothing, restarts it — same as the reference
+        # dropping a GBA whose map changed underneath, :518-530)
+        self._gba = None
 
     # -- detection ------------------------------------------------------
     def _covis_group(self, m: MapState, kf: int) -> set[int]:
@@ -118,14 +170,20 @@ class LoopCloser:
             iters=10, fix_scale=self.fix_scale)
         if int(ref.n_inliers) < 20:
             return None
-        return ref.R, ref.t, ref.s, int(ref.n_inliers)
+        return Sim3Result(ref.R, ref.t, ref.s, int(ref.n_inliers),
+                          jnp.where(valid, l1, -1),
+                          jnp.where(valid, l2, -1),
+                          ref.inliers & valid)
 
     # -- correction -----------------------------------------------------
-    def correct(self, m: MapState, kf: int, cand: int, S12) -> MapState:
-        """Loop correction: Sim3-consistent pose update of the current
-        covisibility group, landmark correction via reference keyframes,
-        essential-graph optimization, bounded global BA."""
-        R12, t12, s12, _ = S12
+    def correct(self, m: MapState, kf: int, cand: int,
+                S12: Sim3Result, sync_gba: bool = True) -> MapState:
+        """Loop correction (reference: LoopClosing.cc:509-719): Sim3-
+        consistent pose update of the current covisibility group, landmark
+        correction via reference keyframes, matched-point Replace,
+        SearchAndFuse welding, essential-graph optimization, bounded
+        global BA."""
+        R12, t12, s12 = S12.R, S12.t, S12.s
         K = m.kf_R.shape[0]
         # corrected current pose: T_cur<-w = S12 * T_cand<-w  (cand frame
         # mapped into cur camera), i.e. S_cur_w_corr = S12 o T_cand_w
@@ -143,6 +201,12 @@ class LoopCloser:
         group_mask = np.zeros(K, bool)
         group_mask[group] = True
         gm = jnp.asarray(group_mask)
+        # pre-propagation pose snapshot: essential-graph edge MEASUREMENTS
+        # must come from the uncorrected estimates (the reference's
+        # NonCorrectedSim3, LoopClosing.cc:546-580 + Optimizer.cc:930-1010)
+        # or every non-loop edge starts at zero residual and the pose graph
+        # distributes nothing
+        R_old, t_old = m.kf_R, m.kf_t
         # corrected poses: T_i_w o G^-1 (as Sim3, scale folded into t)
         Ri, ti, si = sim3.compose(
             m.kf_R, m.kf_t, jnp.ones(K), *(jnp.broadcast_to(Rgi, (K, 3, 3)),
@@ -158,71 +222,241 @@ class LoopCloser:
         lm_pw = jnp.where(lm_ref_in_group[:, None], pw_corr, m.lm_pw)
         m = m._replace(kf_R=kf_R, kf_t=kf_t, lm_pw=lm_pw)
 
+        # --- matched-point Replace (reference: LoopClosing.cc:638-661):
+        # the Sim3 inlier pairs are the SAME physical points seen from both
+        # sides of the loop; merge them, loop side winning (longer history)
+        from ..mapstate.map import merge_landmarks
+        from . import steps
+        pair_ok = (S12.pair_ok & (S12.lm_cur >= 0) & (S12.lm_cand >= 0)
+                   & (S12.lm_cur != S12.lm_cand))
+        m = merge_landmarks(m, jnp.clip(S12.lm_cand, 0),
+                            jnp.clip(S12.lm_cur, 0), pair_ok)
+
+        # --- SearchAndFuse (reference :661-692 via :725-754): project the
+        # loop group's landmarks into every corrected keyframe
+        w_cand = np.asarray(covisibility_weights(m, jnp.int32(cand)))
+        loop_group = [int(j) for j in np.where(w_cand > 0)[0]] + [cand]
+        loop_kf_mask = np.zeros(K, bool)
+        loop_kf_mask[loop_group] = True
+        lkm = jnp.asarray(loop_kf_mask)
+        obs_in_loop = jnp.any(
+            lkm[jnp.clip(m.lm_obs_kf, 0)] & (m.lm_obs_kf >= 0), axis=1)
+        G = 32
+        group_pad = np.full(G, -1, np.int32)
+        group_pad[:min(len(group), G)] = group[:G]
+        m = steps.loop_search_and_fuse(
+            m, self.cam, obs_in_loop, jnp.asarray(group_pad),
+            self.width, self.height)
+
         # --- essential-graph optimization over all keyframes ---
         valid_kf = np.asarray(m.kf_valid)
         n_valid = int(valid_kf.sum())
+        self.loop_edges.append((min(kf, cand), max(kf, cand)))
         if n_valid >= 4:
-            m = self._essential_graph(m, kf, cand)
-        # --- bounded global BA (reference: GBA 10 iters) ---
-        m = self._global_ba(m)
+            m = self._essential_graph(m, kf, cand, R_old, t_old)
         m = rebuild_observations(m)
+        # --- global BA (reference: new GBA thread, :711): synchronous
+        # drain for the simple process() API, chunked/polled for the
+        # tracker path; starting it aborts any still-running older GBA
+        # (generation counter, :518-530)
+        if sync_gba:
+            m = self._global_ba(m)
+        else:
+            self._start_gba(m)
         self.last_loop_kf = kf
         self.n_loops_closed += 1
         return m
 
-    def _essential_graph(self, m: MapState, kf: int, cand: int) -> MapState:
+    def _essential_graph(self, m: MapState, kf: int, cand: int,
+                         R_old=None, t_old=None) -> MapState:
+        """Essential-graph edge families (reference: Optimizer.cc:908-1053):
+        (1) loop edges — current + all past accepted loops;
+        (2) spanning-tree equivalent — each keyframe chained to its
+            temporal predecessor (the reference's parent is the top
+            covisible at insertion, which is the predecessor in practice;
+            this chain guarantees connectivity whatever the covisibility
+            threshold prunes);
+        (3) covisibility edges with weight >= 100 (the reference's
+            minFeat=100 gate, Optimizer.cc:860 — NOT every w>=15 pair).
+        Edge extraction is one vectorized triu scan, not an O(K^2) Python
+        loop."""
         K = m.kf_R.shape[0]
-        # edges: covisibility pairs with weight >= 15 + the loop edge; all
-        # measured from current (post-propagation) relative poses
-        W = np.array(covisibility_matrix(m))  # writable copy
-        W[~np.asarray(m.kf_valid)] = 0
-        pairs = [(i, j) for i in range(K) for j in range(i + 1, K)
-                 if W[i, j] >= 15]
-        if (kf, cand) not in pairs and (cand, kf) not in pairs:
-            pairs.append((min(kf, cand), max(kf, cand)))
+        valid = np.asarray(m.kf_valid)
+        W = np.asarray(covisibility_matrix(m))
+        W = np.where(valid[:, None] & valid[None, :], W, 0)
+        ei, ej = np.nonzero(np.triu(W, 1) >= 100)
+        pairs = set(zip(ei.tolist(), ej.tolist()))
+        # temporal chain over live slots (stable compaction preserves order)
+        live = np.where(valid)[0]
+        for a, b in zip(live[:-1], live[1:]):
+            pairs.add((int(a), int(b)))
+        for e in self.loop_edges:
+            if valid[e[0]] and valid[e[1]]:
+                pairs.add(e)
+        loop_pair = (min(kf, cand), max(kf, cand))
+        pairs.add(loop_pair)
+        pairs = sorted(pairs)
         e_i = jnp.asarray([p[0] for p in pairs], jnp.int32)
         e_j = jnp.asarray([p[1] for p in pairs], jnp.int32)
-        Ri, ti = m.kf_R[e_i], m.kf_t[e_i]
-        Rj, tj = m.kf_R[e_j], m.kf_t[e_j]
+        # measurements from the PRE-propagation poses (NonCorrectedSim3);
+        # the loop edge alone is measured from the corrected poses — it
+        # carries the new constraint the graph distributes
+        if R_old is None:
+            R_old, t_old = m.kf_R, m.kf_t
+        is_loop = jnp.asarray([p == loop_pair or p in self.loop_edges[:-1]
+                               for p in pairs])
+        Ri = jnp.where(is_loop[:, None, None], m.kf_R[e_i], R_old[e_i])
+        ti = jnp.where(is_loop[:, None], m.kf_t[e_i], t_old[e_i])
+        Rj = jnp.where(is_loop[:, None, None], m.kf_R[e_j], R_old[e_j])
+        tj = jnp.where(is_loop[:, None], m.kf_t[e_j], t_old[e_j])
         iRi, iti = se3.inverse(Ri, ti)
         mR, mt = se3.compose(Rj, tj, iRi, iti)
         ms = jnp.ones(len(pairs))
-        fixed = np.zeros(K, bool)
-        fixed[cand] = True  # reference fixes the loop keyframe (:891)
-        fixed[0] = True
+        # slice the vertex set to the live prefix, pow2-bucketed (the dense
+        # [N*7, N*7] pose-graph solve must not scale with map CAPACITY)
+        n_kf = int(np.max(np.where(valid)[0])) + 1 if valid.any() else 1
+        Np = K if n_kf > K // 2 else max(
+            64, 1 << (max(n_kf - 1, 1)).bit_length())
+        Np = min(Np, K)
+        fixed = np.zeros(Np, bool)
+        fixed[cand] = True  # reference fixes ONLY the loop KF (:891-892)
+        fixed[~valid[:Np]] = True
         prob = pose_graph.PoseGraphProblem(
-            m.kf_R, m.kf_t, jnp.ones(K), e_i, e_j, mR, mt, ms,
+            m.kf_R[:Np], m.kf_t[:Np], jnp.ones(Np), e_i, e_j, mR, mt, ms,
             jnp.ones(len(pairs), bool), jnp.asarray(fixed))
         res = pose_graph.optimize_pose_graph(
             prob, iters=20, fix_scale=self.fix_scale)
+        res_R = m.kf_R.at[:Np].set(res.R)
+        res_t_s = res.t / jnp.clip(res.s, 1e-9, None)[:, None]
         # re-map landmarks through their reference keyframe's correction
-        ref = jnp.clip(m.lm_ref_kf, 0, K - 1)
-        R_old, t_old = m.kf_R[ref], m.kf_t[ref]
-        R_new = res.R[ref]
-        t_new = res.t[ref] / jnp.clip(res.s[ref], 1e-9, None)[:, None]
-        Xc = se3.transform(R_old, t_old, m.lm_pw)
+        ref = jnp.clip(m.lm_ref_kf, 0, Np - 1)
+        R_o, t_o = m.kf_R[ref], m.kf_t[ref]
+        R_new = res_R[ref]
+        t_new = m.kf_t.at[:Np].set(res_t_s)[ref]
+        Xc = se3.transform(R_o, t_o, m.lm_pw)
         iRn, itn = se3.inverse(R_new, t_new)
         pw = se3.transform(iRn, itn, Xc)
         lm_pw = jnp.where(m.lm_valid[:, None], pw, m.lm_pw)
-        kf_t_new = res.t / jnp.clip(res.s, 1e-9, None)[:, None]
-        return m._replace(kf_R=res.R, kf_t=kf_t_new, lm_pw=lm_pw)
+        return m._replace(kf_R=res_R,
+                          kf_t=m.kf_t.at[:Np].set(res_t_s),
+                          lm_pw=lm_pw)
 
-    def _global_ba(self, m: MapState, iters: int = 10) -> MapState:
-        from ..matching.search import INV_SIGMA2
-        obs_valid = m.lm_obs_kf >= 0
-        kf_idx = jnp.clip(m.lm_obs_kf, 0)
-        feat_idx = m.lm_obs_feat
+    def _build_gba_problem(self, m: MapState):
+        """Global-BA problem over the LIVE prefix of the slot arrays
+        (keyframes/landmarks are append-only + compacted, so rows >=
+        n_kf / n_lm are empty) padded to a power of two — at dataset scale
+        the full-capacity arrays would waste most of the work, and pow2
+        bucketing bounds jit recompiles to O(log) over a run."""
+        K, L = m.kf_R.shape[0], m.lm_pw.shape[0]
+        n_kf = int(m.n_kf)
+        n_lm = int(m.n_lm)
+        Pp = K if n_kf > K // 2 else max(64, 1 << (max(n_kf - 1, 1)).bit_length())
+        Lp = L if n_lm > L // 2 else max(1024, 1 << (max(n_lm - 1, 1)).bit_length())
+        Pp, Lp = min(Pp, K), min(Lp, L)
+        obs_kf = m.lm_obs_kf[:Lp]
+        obs_valid = (obs_kf >= 0) & (obs_kf < Pp)
+        kf_idx = jnp.clip(obs_kf, 0)
+        feat_idx = m.lm_obs_feat[:Lp]
         uv = m.kf_xy[kf_idx, feat_idx]
         ur = m.kf_ur[kf_idx, feat_idx]
         uvr = jnp.concatenate([uv, ur[..., None]], axis=-1)
         octv = m.kf_octave[kf_idx, feat_idx]
-        wgt = jnp.where(obs_valid & m.lm_valid[:, None], msearch.inv_sigma2_at(octv), 0.0)
-        fixed = jnp.zeros(m.kf_R.shape[0], bool).at[0].set(True)
-        fixed = fixed | ~m.kf_valid
-        prob = ba.BAProblem(m.kf_R, m.kf_t, m.lm_pw, kf_idx, uvr, wgt,
-                            fixed, m.lm_valid)
-        res = ba.ba_solve(self.cam, prob, iters=iters, robust=True)
-        return m._replace(kf_R=res.R, kf_t=res.t, lm_pw=res.X)
+        wgt = jnp.where(obs_valid & m.lm_valid[:Lp, None],
+                        msearch.inv_sigma2_at(octv), 0.0)
+        fixed = jnp.zeros(Pp, bool).at[0].set(True) | ~m.kf_valid[:Pp]
+        prob = ba.BAProblem(m.kf_R[:Pp], m.kf_t[:Pp], m.lm_pw[:Lp],
+                            kf_idx, uvr, wgt, fixed, m.lm_valid[:Lp])
+        return prob, Pp, Lp
+
+    def _start_gba(self, m: MapState):
+        """Snapshot the GBA problem and bump the generation counter: a
+        still-running older GBA is discarded here — the reference's
+        mbStopGBA + mnFullBAIdx abort (LoopClosing.cc:518-530)."""
+        prob, Pp, Lp = self._build_gba_problem(m)
+        self.gba_generation += 1
+        self._gba = {
+            "prob": prob, "Pp": Pp, "Lp": Lp,
+            # snapshot extents: slots beyond these at snapshot time were
+            # EMPTY — anything living there when GBA finishes was born
+            # during the run and must ride the chain correction, not be
+            # overwritten with padding
+            "n_kf": int(m.n_kf), "n_lm": int(m.n_lm),
+            "left": self.gba_total_iters,
+            "gen": self.gba_generation,
+        }
+
+    def gba_running(self) -> bool:
+        return self._gba is not None
+
+    def poll_gba(self, m: MapState) -> MapState | None:
+        """Advance the pending global BA by one bounded chunk (called once
+        per frame by the tracker — SURVEY §2.5 P3/P6: interruption =
+        'don't launch the next chunk'). Returns the reconciled map when
+        the last chunk completes, else None."""
+        g = self._gba
+        if g is None:
+            return None
+        iters = min(self.gba_chunk_iters, g["left"])
+        prob = g["prob"]
+        if g["Pp"] <= 64:
+            res = ba.ba_solve(self.cam, prob, iters=iters, robust=True)
+        else:
+            res = ba.ba_solve_cg(self.cam, prob, iters=iters, robust=True)
+        g["prob"] = prob._replace(R=res.R, t=res.t, X=res.X)
+        g["left"] -= iters
+        if g["left"] > 0:
+            return None
+        self._gba = None
+        return self._apply_gba(m, g)
+
+    def _apply_gba(self, m: MapState, g) -> MapState:
+        """Reconcile a finished GBA snapshot into the CURRENT map
+        (reference: RunGlobalBundleAdjustment write-back,
+        LoopClosing.cc:823-889): snapshot keyframes take their GBA poses
+        outright; keyframes inserted during the GBA are corrected through
+        the temporal chain (child = rel-to-anchor o anchor_GBA — the
+        reference walks the spanning tree); snapshot landmarks take their
+        GBA positions, newer landmarks ride their reference keyframe's
+        correction."""
+        Pp, Lp = g["Pp"], g["Lp"]
+        prob = g["prob"]
+        K = m.kf_R.shape[0]
+        n_kf_s, n_lm_s = g["n_kf"], g["n_lm"]
+        # keyframes inserted during GBA: rel = T_cur(k) o T_cur(anchor)^-1,
+        # T_new(k) = rel o T_gba(anchor), anchor = last snapshot keyframe
+        anchor = max(n_kf_s - 1, 0)
+        iRa, ita = se3.inverse(m.kf_R[anchor], m.kf_t[anchor])
+        relR, relt = se3.compose(m.kf_R, m.kf_t, iRa, ita)  # [K,...]
+        newR, newt = se3.compose(relR, relt,
+                                 prob.R[anchor], prob.t[anchor])
+        in_snap = jnp.arange(K) < n_kf_s
+        kf_R_old, kf_t_old = m.kf_R, m.kf_t
+        kf_R = jnp.where(in_snap[:, None, None],
+                         m.kf_R.at[:Pp].set(prob.R), newR)
+        kf_t = jnp.where(in_snap[:, None],
+                         m.kf_t.at[:Pp].set(prob.t), newt)
+        # landmarks born after the snapshot: correct via their reference
+        # keyframe's old->new pose change (reference :852-889)
+        L = m.lm_pw.shape[0]
+        ref = jnp.clip(m.lm_ref_kf, 0, K - 1)
+        Xc = se3.transform(kf_R_old[ref], kf_t_old[ref], m.lm_pw)
+        iRn, itn = se3.inverse(kf_R[ref], kf_t[ref])
+        pw_ride = se3.transform(iRn, itn, Xc)
+        in_snap_lm = jnp.arange(L) < n_lm_s
+        lm_pw = jnp.where(in_snap_lm[:, None],
+                          m.lm_pw.at[:Lp].set(prob.X), pw_ride)
+        lm_pw = jnp.where(m.lm_valid[:, None], lm_pw, m.lm_pw)
+        return m._replace(kf_R=kf_R, kf_t=kf_t, lm_pw=lm_pw)
+
+    def _global_ba(self, m: MapState, iters: int = 10) -> MapState:
+        """Synchronous global BA: start + drain (the simple process() API;
+        the tracker instead polls chunks across frames)."""
+        self.gba_total_iters = iters
+        self._start_gba(m)
+        out = None
+        while out is None:
+            out = self.poll_gba(m)
+        return out
 
     # -- entry ----------------------------------------------------------
     def process(self, m: MapState, kf: int) -> MapState:
@@ -275,7 +509,7 @@ class LoopCloser:
         S12 = self.compute_sim3(m, kf, cand)
         if S12 is None:
             return None
-        return self.correct(m, kf, cand, S12)
+        return self.correct(m, kf, cand, S12, sync_gba=False)
 
     def _consistency(self, W: np.ndarray, candidates: list[int]) -> int | None:
         """Covisibility-consistency over consecutive keyframes

@@ -40,27 +40,38 @@ def _popcount_np(x: np.ndarray) -> np.ndarray:
     return np.unpackbits(x.view(np.uint8), axis=-1).sum(-1)
 
 
+_POPCNT8 = np.array([bin(i).count("1") for i in range(256)], np.uint8)
+
+
 def _kmajority(descs: np.ndarray, k: int, rng, iters: int = 8):
     """Binary k-means with bitwise-majority means (FORB::meanValue
-    semantics, reference: FORB.cpp:107-143). descs [M, 8] uint32."""
+    semantics, reference: FORB.cpp:107-143). descs [M, 8] uint32.
+
+    Distances run on packed bytes through a popcount LUT — peak memory is
+    [M, k, 32] uint8 instead of the [M, k, 256] bool of the unpacked
+    formulation, which matters at the ~10^5-descriptor corpora the 10k-word
+    tree is trained on."""
     M = len(descs)
     k = min(k, M)
     centers = descs[rng.choice(M, k, replace=False)]
-    bits = np.unpackbits(descs.view(np.uint8), axis=-1)  # [M, 256]
+    dbytes = descs.view(np.uint8).reshape(M, 32)
+    assign = np.zeros(M, np.int64)
     for _ in range(iters):
-        cbits = np.unpackbits(centers.view(np.uint8), axis=-1)
-        d = (bits[:, None, :] != cbits[None, :, :]).sum(-1)  # [M, k]
+        cbytes = centers.view(np.uint8).reshape(k, 32)
+        d = _POPCNT8[np.bitwise_xor(dbytes[:, None, :],
+                                    cbytes[None, :, :])].sum(
+            -1, dtype=np.int32)  # [M, k]
         assign = d.argmin(1)
         new = []
         for j in range(k):
-            sel = bits[assign == j]
+            sel = dbytes[assign == j]
             if len(sel) == 0:
-                new.append(np.unpackbits(
-                    descs[rng.randint(M)].view(np.uint8)))
+                new.append(descs[rng.randint(M)].view(np.uint8).reshape(32))
                 continue
-            new.append((sel.mean(0) >= 0.5).astype(np.uint8))
-        nb = np.stack(new)
-        centers = np.packbits(nb, axis=-1).view(np.uint32).reshape(k, 8)
+            selbits = np.unpackbits(sel, axis=-1)
+            new.append(np.packbits(
+                (selbits.mean(0) >= 0.5).astype(np.uint8)))
+        centers = np.stack(new).view(np.uint32).reshape(k, 8)
     return centers, assign
 
 

@@ -1,0 +1,204 @@
+"""Host-side loop closing (pipeline.loop_closing.LoopCloser): detection,
+Sim3, and the FULL correction chain — matched-point Replace +
+SearchAndFuse welding + essential-graph families + bounded GBA
+(reference: LoopClosing.cc:509-754, Optimizer.cc:829-1118).
+
+Same controlled scenario as test_auto_loop: an orbit that returns to its
+start with drift injected into the later keyframes' MAP poses (frames are
+rendered at TRUE poses — the drift is exactly accumulated tracking error).
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from orb_slam2_with_comment_tpu.dataio.synthetic import (
+    SyntheticWorld, orbit_trajectory)
+from orb_slam2_with_comment_tpu.frontend import OrbExtractor
+from orb_slam2_with_comment_tpu.mapstate.map import MapConfig, empty_map
+from orb_slam2_with_comment_tpu.pipeline import TrackerConfig, steps
+from orb_slam2_with_comment_tpu.pipeline.loop_closing import LoopCloser
+from orb_slam2_with_comment_tpu.place.database import KeyFrameDatabase
+from orb_slam2_with_comment_tpu.place.vocabulary import (
+    load_default_vocabulary)
+
+DRIFT_STEP = np.array([0.015, 0.0, 0.008], np.float32)
+
+
+def _mean_chi2(m, cam):
+    """Mean weighted 2D reprojection chi2 over all live observations."""
+    from orb_slam2_with_comment_tpu.matching.search import inv_sigma2_at
+    obs_ok = (m.lm_obs_kf >= 0) & m.lm_valid[:, None]
+    kf_idx = jnp.clip(m.lm_obs_kf, 0)
+    uv = m.kf_xy[kf_idx, m.lm_obs_feat]
+    ur = m.kf_ur[kf_idx, m.lm_obs_feat]
+    uvr = jnp.concatenate([uv, ur[..., None]], axis=-1)
+    w = jnp.where(obs_ok, inv_sigma2_at(m.kf_octave[kf_idx, m.lm_obs_feat]),
+                  0.0)
+    Xc = jnp.einsum("ldij,lj->ldi", m.kf_R[kf_idx], m.lm_pw) + m.kf_t[kf_idx]
+    z = jnp.where(jnp.abs(Xc[..., 2]) < 1e-9, 1e-9, Xc[..., 2])
+    u = cam.fx * Xc[..., 0] / z + cam.cx
+    v = cam.fy * Xc[..., 1] / z + cam.cy
+    e2 = (uvr[..., 0] - u) ** 2 + (uvr[..., 1] - v) ** 2
+    n = jnp.sum(obs_ok)
+    return float(jnp.sum(jnp.where(obs_ok, e2 * w, 0.0))
+                 / jnp.maximum(n, 1))
+
+
+def _welded_count(m, early=4, late=13):
+    """Landmarks observed on BOTH sides of the loop (an early and a late
+    keyframe) — the quantity Replace + SearchAndFuse must increase."""
+    obs = np.asarray(m.lm_obs_kf)
+    valid = np.asarray(m.lm_valid)
+    has_early = ((obs >= 0) & (obs <= early)).any(axis=1)
+    has_late = (obs >= late).any(axis=1)
+    return int((has_early & has_late & valid).sum())
+
+
+@pytest.fixture(scope="module")
+def host_loop_run():
+    cfg = TrackerConfig(
+        n_features=1000, min_init_features=200,
+        map_cfg=MapConfig(k_max=20, n_feat=1000, l_max=10000, d_max=8),
+        fps=30, depth_factor=1.0)
+    world = SyntheticWorld(seed=1)
+    lap = orbit_trajectory(n_frames=14)
+    poses = lap + lap[:4]
+    ext = OrbExtractor(n_features=1000)
+    voc = load_default_vocabulary()
+    cam = cfg.cam
+    m = empty_map(cfg.map_cfg)
+    db = KeyFrameDatabase(voc, cfg.map_cfg.k_max)
+    closer = LoopCloser(cam, db, fix_scale=True, min_gap=10,
+                        width=cfg.width, height=cfg.height)
+    drift = np.zeros(3, np.float32)
+    err_before = welded_before = chi2_before = None
+    events = []
+    for k, (R, t) in enumerate(poses):
+        img, depth = world.render(R, t)
+        img = np.clip(img, 0, 255).astype(np.float32)
+        feats, d = steps.extract_rgbd_features(
+            ext, cam, jnp.asarray(img), jnp.asarray(depth),
+            jnp.float32(1.0), cfg.width, cfg.height)
+        obs = steps.FrameObs(feats, d, jnp.full(d.shape[0], -1, jnp.int32))
+        if 8 <= k < 14:
+            drift = drift + DRIFT_STEP
+        m = steps.keyframe_step(
+            m, cam, obs, jnp.asarray(R), jnp.asarray(t + drift),
+            jnp.int32(k), jnp.float32(cfg.depth_threshold),
+            cfg.width, cfg.height)
+        db.add(k, feats.desc, feats.valid)
+        n_before = closer.n_loops_closed
+        if n_before == 0:
+            err_now = float(np.linalg.norm(np.asarray(m.kf_t[k]) - poses[k][1]))
+            welded_now = _welded_count(m)
+            chi2_now = _mean_chi2(m, cam)
+        m = closer.process(m, k)
+        if closer.n_loops_closed > n_before:
+            err_before = err_now
+            welded_before = welded_now
+            chi2_before = chi2_now
+            events.append(k)
+    return (m, closer, poses, events, err_before, welded_before,
+            chi2_before, cam)
+
+
+class TestHostLoopClosing:
+    def test_loop_detected(self, host_loop_run):
+        m, closer, poses, events, *_ = host_loop_run
+        assert closer.n_loops_closed >= 1, "no loop closed over a revisit"
+        assert events[0] >= 13
+
+    def test_drift_corrected(self, host_loop_run):
+        m, closer, poses, events, err_before, *_ = host_loop_run
+        k = events[0]
+        err_after = float(np.linalg.norm(np.asarray(m.kf_t[k]) - poses[k][1]))
+        assert err_before > 0.05
+        assert err_after < 0.35 * err_before, (err_before, err_after)
+
+    def test_loop_welds_duplicate_landmarks(self, host_loop_run):
+        """Replace + SearchAndFuse must merge the revisit's duplicate
+        landmarks into the originals: cross-loop co-observations appear
+        (reference: LoopClosing.cc:638-661 Replace, :725-754 SearchAndFuse)."""
+        m, closer, poses, events, err_b, welded_before, *_ = host_loop_run
+        welded_after = _welded_count(m)
+        assert welded_after > welded_before, (welded_before, welded_after)
+        assert welded_after >= 30, welded_after
+
+    def test_reprojection_chi2_drops(self, host_loop_run):
+        (m, closer, poses, events, err_b, welded_b,
+         chi2_before, cam) = host_loop_run
+        chi2_after = _mean_chi2(m, cam)
+        assert chi2_after < chi2_before, (chi2_before, chi2_after)
+
+    def test_map_finite_and_anchored(self, host_loop_run):
+        m, closer, poses, *_ = host_loop_run
+        assert np.isfinite(np.asarray(m.kf_t)).all()
+        assert np.isfinite(np.asarray(m.lm_pw)).all()
+
+
+class TestChunkedGBA:
+    """Asynchronous global BA semantics (reference: LoopClosing.cc:711,
+    790-901 GBA thread + :518-530 mnFullBAIdx abort)."""
+
+    def _small_map(self):
+        from orb_slam2_with_comment_tpu.place.vocabulary import (
+            load_default_vocabulary)
+        cfg = TrackerConfig(
+            n_features=1000, min_init_features=200,
+            map_cfg=MapConfig(k_max=20, n_feat=1000, l_max=10000, d_max=8),
+            fps=30, depth_factor=1.0)
+        world = SyntheticWorld(seed=3)
+        poses = orbit_trajectory(n_frames=20)[:6]
+        ext = OrbExtractor(n_features=1000)
+        cam = cfg.cam
+        m = empty_map(cfg.map_cfg)
+        for k, (R, t) in enumerate(poses):
+            img, depth = world.render(R, t)
+            feats, d = steps.extract_rgbd_features(
+                ext, cam, jnp.asarray(np.clip(img, 0, 255).astype(np.float32)),
+                jnp.asarray(depth), jnp.float32(1.0), cfg.width, cfg.height)
+            obs = steps.FrameObs(feats, d, jnp.full(d.shape[0], -1, jnp.int32))
+            m = steps.keyframe_step(
+                m, cam, obs, jnp.asarray(R), jnp.asarray(t), jnp.int32(k),
+                jnp.float32(cfg.depth_threshold), cfg.width, cfg.height)
+        voc = load_default_vocabulary()
+        db = KeyFrameDatabase(voc, cfg.map_cfg.k_max)
+        closer = LoopCloser(cam, db, fix_scale=True,
+                            width=cfg.width, height=cfg.height)
+        return m, closer, cam
+
+    def test_chunks_complete_and_converge(self):
+        m, closer, cam = self._small_map()
+        chi_before = _mean_chi2(m, cam)
+        closer._start_gba(m)
+        assert closer.gba_running()
+        polls = 0
+        out = None
+        while out is None and polls < 20:
+            out = closer.poll_gba(m)
+            polls += 1
+        assert out is not None
+        assert polls == -(-closer.gba_total_iters // closer.gba_chunk_iters)
+        assert not closer.gba_running()
+        assert _mean_chi2(out, cam) <= chi_before + 1e-6
+
+    def test_new_loop_aborts_running_gba(self):
+        """Starting a new GBA while one is pending bumps the generation
+        counter and discards the old snapshot (reference mnFullBAIdx)."""
+        m, closer, cam = self._small_map()
+        closer._start_gba(m)
+        gen0 = closer.gba_generation
+        closer.poll_gba(m)  # one chunk in flight
+        assert closer.gba_running()
+        closer._start_gba(m)  # newer loop arrives
+        assert closer.gba_generation == gen0 + 1
+        assert closer._gba["left"] == closer.gba_total_iters  # fresh run
+
+    def test_compaction_aborts_gba(self):
+        m, closer, cam = self._small_map()
+        closer._start_gba(m)
+        K = m.kf_R.shape[0]
+        rank = np.arange(K)
+        valid = np.asarray(m.kf_valid)
+        closer.remap_slots(rank, valid)
+        assert not closer.gba_running()

@@ -42,6 +42,45 @@ class TestVocabulary:
         s = np.asarray(score_l1(va, db))
         assert s[0] > s[1] + 0.1, s  # same place scores clearly higher
 
+    def test_default_vocab_recall_margin(self):
+        """Recall benchmark for the PACKAGED vocabulary on held-out worlds
+        (seeds the trainer never saw): same-place views must outscore
+        different-place views with a clear margin. This is the offline
+        stand-in for the reference vocabulary's Flickr1M generalization
+        (TemplatedVocabulary.h:241) — loop detection lives or dies on this
+        separation."""
+        from orb_slam2_with_comment_tpu.dataio.synthetic import (
+            SyntheticWorld, orbit_trajectory)
+        from orb_slam2_with_comment_tpu.frontend import OrbExtractor
+        from orb_slam2_with_comment_tpu.place.vocabulary import (
+            load_default_vocabulary)
+        voc = load_default_vocabulary()
+        ext = OrbExtractor(n_features=600)
+
+        def vec(world, R, t):
+            img, _ = world.render(R, t)
+            f = ext(jnp.asarray(np.clip(img, 0, 255).astype(np.uint8)))
+            return bow_vectors(voc, transform(voc, f.desc, f.valid), f.valid)
+
+        same_scores, diff_scores = [], []
+        for seed in (101, 102, 103):  # held out from training (0..23)
+            world = SyntheticWorld(seed=seed)
+            poses = orbit_trajectory(n_frames=12)
+            # same place: consecutive orbit views (small baseline)
+            v0 = vec(world, *poses[0])
+            v1 = vec(world, *poses[1])
+            # different place: opposite side of the orbit + another world
+            v6 = vec(world, *poses[6])
+            other = SyntheticWorld(seed=seed + 50)
+            vo = vec(other, *poses[0])
+            db = jnp.stack([v1, v6, vo])
+            s = np.asarray(score_l1(v0, db))
+            same_scores.append(s[0])
+            diff_scores.extend([s[1], s[2]])
+        same = float(np.median(same_scores))
+        diff = float(np.median(diff_scores))
+        assert same > 1.5 * diff + 0.05, (same_scores, diff_scores)
+
     def test_masked_features_ignored(self):
         descs = random_descs(1000)
         voc = train_vocabulary(descs, k=8, levels=2, seed=2)
