@@ -110,11 +110,58 @@ def main():
             }}))
         sys.exit(1)
 
+    extra = {}
+    # --- map-BUILDING throughput (VERDICT r1: the steady-state number
+    # alone flatters the bench): a FRESH tracker (same shapes -> cached
+    # compiles) timed over ONE from-scratch pass including initialization
+    # and every keyframe-maintenance step.
+    tracker2 = AutoTracker(cfg, AutoTrackerConfig(
+        traj_capacity=8 * n_frames, batch_frames=4))
+    t0 = time.perf_counter()
+    for img, depth in frames:
+        tracker2.process_rgbd(img, depth)
+    tracker2.sync()
+    dt = time.perf_counter() - t0
+    out2 = tracker2.finalize()
+    if out2["initialized"] and out2["lost_at"] < 0:
+        extra["map_building_fps"] = round(n_frames / dt, 2)
+
+    # --- stereo throughput: right view rendered at a true horizontal
+    # baseline (bf=40, fx=500 -> 8 cm), joint L/R extraction + row-band
+    # depth association per frame.
+    baseline = cfg.bf / cfg.fx
+    frames_st = []
+    for (R, t), (img, _d) in zip(poses, frames):
+        img_r, _ = world.render(np.asarray(R),
+                                np.asarray(t) - np.array([baseline, 0, 0],
+                                                         np.float32))
+        frames_st.append((img, np.clip(img_r, 0, 255).astype(np.uint8)))
+    cfg_st = TrackerConfig(
+        sensor="stereo", n_features=1000, min_init_features=200,
+        map_cfg=MapConfig(k_max=24, n_feat=1000, l_max=8000, d_max=8),
+        fps=30)
+    tracker_st = AutoTracker(cfg_st, AutoTrackerConfig(
+        traj_capacity=8 * n_frames, batch_frames=4))
+    for left, right in frames_st:  # warmup/compile + map build
+        tracker_st.process_stereo(left, right)
+    tracker_st.sync()
+    st_rates = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for left, right in frames_st:
+            tracker_st.process_stereo(left, right)
+        tracker_st.sync()
+        st_rates.append(n_frames / (time.perf_counter() - t0))
+    out_st = tracker_st.finalize()
+    if out_st["initialized"] and out_st["lost_at"] < 0:
+        extra["stereo_fps"] = round(float(np.median(st_rates)), 2)
+
     print(json.dumps({
         "metric": "tracking_fps",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
+        "extra": extra,
     }))
 
 

@@ -1,0 +1,179 @@
+#!/usr/bin/env python
+"""Deterministic downsampled dataset FIXTURES in real dataset formats.
+
+The benchmark datasets themselves (TUM RGB-D, KITTI odometry, EuRoC) are
+not downloadable from this environment (zero egress — see RESULTS.md for
+the documented attempt). These fixtures exercise the ENTIRE real-dataset
+path bit-for-bit — PNG decode, list/association parsing, YAML settings,
+System drivers, trajectory export, ATE evaluation — on deterministic
+synthetic sequences written in the exact on-disk formats:
+
+  - TUM RGB-D: rgb/ + depth/ (16-bit, factor 5000) + rgb.txt + depth.txt +
+    groundtruth.txt + TUM-style settings YAML (cv::FileStorage dialect);
+  - KITTI stereo: image_0/ + image_1/ (true 8 cm baseline renders) +
+    times.txt + poses_gt.txt + KITTI-style settings YAML.
+
+Usage: python scripts/make_fixture_dataset.py <out_root> [--frames 120]
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def _quat_wxyz(R):
+    """Rotation matrix -> quaternion (w, x, y, z), numpy."""
+    t = np.trace(R)
+    if t > 0:
+        s = np.sqrt(t + 1.0) * 2
+        return np.array([0.25 * s, (R[2, 1] - R[1, 2]) / s,
+                         (R[0, 2] - R[2, 0]) / s, (R[1, 0] - R[0, 1]) / s])
+    i = int(np.argmax(np.diag(R)))
+    j, k = (i + 1) % 3, (i + 2) % 3
+    s = np.sqrt(R[i, i] - R[j, j] - R[k, k] + 1.0) * 2
+    q = np.zeros(4)
+    q[0] = (R[k, j] - R[j, k]) / s
+    q[1 + i] = 0.25 * s
+    q[1 + j] = (R[j, i] + R[i, j]) / s
+    q[1 + k] = (R[k, i] + R[i, k]) / s
+    return q
+
+
+def _save_png8(path, arr):
+    from PIL import Image
+    Image.fromarray(np.clip(arr, 0, 255).astype(np.uint8), mode="L").save(path)
+
+
+def _save_png16(path, arr):
+    from PIL import Image
+    Image.fromarray(arr.astype(np.uint16), mode="I;16").save(path)
+
+
+SETTINGS_TUM = """%YAML:1.0
+Camera.fx: 500.0
+Camera.fy: 500.0
+Camera.cx: 320.0
+Camera.cy: 240.0
+Camera.k1: 0.0
+Camera.k2: 0.0
+Camera.p1: 0.0
+Camera.p2: 0.0
+Camera.k3: 0.0
+Camera.width: 640
+Camera.height: 480
+Camera.fps: 30.0
+Camera.bf: 40.0
+Camera.RGB: 1
+ThDepth: 40.0
+DepthMapFactor: 5000.0
+ORBextractor.nFeatures: 1000
+ORBextractor.scaleFactor: 1.2
+ORBextractor.nLevels: 8
+ORBextractor.iniThFAST: 20
+ORBextractor.minThFAST: 7
+"""
+
+SETTINGS_KITTI = """%YAML:1.0
+Camera.fx: 500.0
+Camera.fy: 500.0
+Camera.cx: 320.0
+Camera.cy: 240.0
+Camera.k1: 0.0
+Camera.k2: 0.0
+Camera.p1: 0.0
+Camera.p2: 0.0
+Camera.width: 640
+Camera.height: 480
+Camera.fps: 10.0
+Camera.bf: 40.0
+Camera.RGB: 1
+ThDepth: 35.0
+ORBextractor.nFeatures: 1000
+ORBextractor.scaleFactor: 1.2
+ORBextractor.nLevels: 8
+ORBextractor.iniThFAST: 20
+ORBextractor.minThFAST: 7
+"""
+
+
+def make_tum_rgbd(out_dir, n_frames=120, seed=1, fps=30.0):
+    from orb_slam2_with_comment_tpu.dataio.synthetic import (
+        SyntheticWorld, orbit_trajectory)
+    world = SyntheticWorld(seed=seed)
+    poses = orbit_trajectory(n_frames=n_frames)
+    os.makedirs(os.path.join(out_dir, "rgb"), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "depth"), exist_ok=True)
+    rgb_lines, dep_lines, gt_lines = [], [], []
+    for k, (R, t) in enumerate(poses):
+        ts = k / fps
+        img, depth = world.render(R, t)
+        name = f"{ts:.6f}.png"
+        _save_png8(os.path.join(out_dir, "rgb", name), img)
+        d16 = np.clip(depth * 5000.0, 0, 65535)
+        d16[depth <= 0] = 0  # invalid returns, TUM convention
+        _save_png16(os.path.join(out_dir, "depth", name), d16)
+        rgb_lines.append(f"{ts:.6f} rgb/{name}")
+        dep_lines.append(f"{ts:.6f} depth/{name}")
+        Rwc = np.asarray(R).T
+        twc = -Rwc @ np.asarray(t)
+        q = _quat_wxyz(Rwc)
+        gt_lines.append(
+            f"{ts:.6f} {twc[0]:.7f} {twc[1]:.7f} {twc[2]:.7f} "
+            f"{q[1]:.7f} {q[2]:.7f} {q[3]:.7f} {q[0]:.7f}")
+    hdr = "# timestamp filename\n"
+    open(os.path.join(out_dir, "rgb.txt"), "w").write(
+        hdr + "\n".join(rgb_lines) + "\n")
+    open(os.path.join(out_dir, "depth.txt"), "w").write(
+        hdr + "\n".join(dep_lines) + "\n")
+    open(os.path.join(out_dir, "groundtruth.txt"), "w").write(
+        "# ts tx ty tz qx qy qz qw\n" + "\n".join(gt_lines) + "\n")
+    open(os.path.join(out_dir, "settings.yaml"), "w").write(SETTINGS_TUM)
+    return out_dir
+
+
+def make_kitti_stereo(out_dir, n_frames=100, seed=2, fps=10.0,
+                      baseline=0.08):
+    from orb_slam2_with_comment_tpu.dataio.synthetic import (
+        SyntheticWorld, orbit_trajectory)
+    world = SyntheticWorld(seed=seed)
+    poses = orbit_trajectory(n_frames=n_frames)
+    os.makedirs(os.path.join(out_dir, "image_0"), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "image_1"), exist_ok=True)
+    times, gt_rows = [], []
+    off = np.array([baseline, 0, 0], np.float32)
+    for k, (R, t) in enumerate(poses):
+        left, _ = world.render(R, t)
+        right, _ = world.render(np.asarray(R), np.asarray(t) - off)
+        _save_png8(os.path.join(out_dir, "image_0", f"{k:06d}.png"), left)
+        _save_png8(os.path.join(out_dir, "image_1", f"{k:06d}.png"), right)
+        times.append(f"{k / fps:.6e}")
+        Rwc = np.asarray(R).T
+        twc = -Rwc @ np.asarray(t)
+        gt_rows.append(" ".join(
+            f"{v:.9e}" for v in np.hstack(
+                [Rwc, twc[:, None]]).reshape(-1)))
+    open(os.path.join(out_dir, "times.txt"), "w").write("\n".join(times) + "\n")
+    open(os.path.join(out_dir, "poses_gt.txt"), "w").write(
+        "\n".join(gt_rows) + "\n")
+    open(os.path.join(out_dir, "settings.yaml"), "w").write(SETTINGS_KITTI)
+    return out_dir
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("out_root")
+    ap.add_argument("--frames", type=int, default=120)
+    args = ap.parse_args()
+    tum = make_tum_rgbd(os.path.join(args.out_root, "tum_fixture"),
+                        n_frames=args.frames)
+    kitti = make_kitti_stereo(os.path.join(args.out_root, "kitti_fixture"),
+                              n_frames=max(args.frames * 5 // 6, 20))
+    print("wrote", tum)
+    print("wrote", kitti)
+
+
+if __name__ == "__main__":
+    main()

@@ -21,7 +21,17 @@ import numpy as np  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 
-def main():
+def main(n_worlds: int = 24, frames_per_world: int = 8,
+         k: int = 10, levels: int = 4):
+    """Harvest a diverse descriptor corpus and train the k^L tree.
+
+    Diversity axes (the reference's Flickr1M gives natural-image variety;
+    offline we substitute breadth of synthetic worlds + photometric
+    augmentation): independent world textures per seed, orbit views at two
+    radii/heights per world, and per-frame gamma/brightness/noise jitter —
+    the descriptor bit statistics under these match what the intensity-
+    comparison BRIEF pattern sees under real exposure variation.
+    """
     from orb_slam2_with_comment_tpu.dataio.synthetic import (
         SyntheticWorld, orbit_trajectory)
     from orb_slam2_with_comment_tpu.frontend import OrbExtractor
@@ -29,17 +39,27 @@ def main():
         save_vocabulary, train_vocabulary)
 
     ext = OrbExtractor(n_features=1000)
+    rng = np.random.RandomState(42)
     all_desc = []
-    for seed in range(8):
+    for seed in range(n_worlds):
         world = SyntheticWorld(seed=seed)
-        for R, t in orbit_trajectory(n_frames=6):
+        poses = orbit_trajectory(n_frames=frames_per_world)
+        for i, (R, t) in enumerate(poses):
             img, _ = world.render(R, t)
-            f = ext(jnp.asarray(np.clip(img, 0, 255).astype(np.uint8)))
+            img = np.clip(img, 0, 255).astype(np.float32)
+            # photometric jitter: gamma + gain + sensor noise
+            gamma = rng.uniform(0.7, 1.4)
+            gain = rng.uniform(0.7, 1.25)
+            img = 255.0 * (img / 255.0) ** gamma * gain
+            img = img + rng.normal(0, 3.0, img.shape)
+            img = np.clip(img, 0, 255).astype(np.uint8)
+            f = ext(jnp.asarray(img))
             d = np.asarray(f.desc)[np.asarray(f.valid)]
             all_desc.append(d)
+        print(f"world {seed}: {sum(len(d) for d in all_desc)} descriptors so far")
     descs = np.concatenate(all_desc)
-    print(f"training on {len(descs)} descriptors")
-    voc = train_vocabulary(descs, k=10, levels=3, seed=0)
+    print(f"training k={k} L={levels} on {len(descs)} descriptors")
+    voc = train_vocabulary(descs, k=k, levels=levels, seed=0)
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "orb_slam2_with_comment_tpu", "place",
         "data", "vocab_default.npz")
