@@ -16,6 +16,15 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+# The axon TPU tunnel is EXCLUSIVE per process: if this parent imported
+# jax against the tunnel (the package __init__ imports jax), the driver
+# subprocesses below would block at their own jax import. The parent
+# pins itself to CPU and hands the ORIGINAL (TPU) environment to the
+# subprocesses, which run serially.
+TPU_ENV = dict(os.environ)
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
+
 import numpy as np
 
 
@@ -68,7 +77,7 @@ def main():
     ap.add_argument("--frames", type=int, default=120)
     ap.add_argument("--skip-gen", action="store_true")
     args = ap.parse_args()
-    env = dict(os.environ)
+    env = TPU_ENV
     results = {}
 
     if not args.skip_gen:

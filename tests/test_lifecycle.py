@@ -110,7 +110,7 @@ class TestLifecycleEndToEnd:
     def test_tracking_survives_maintenance(self, lifecycle_run):
         tracker, poses, results = lifecycle_run
         n_tracked = sum(r is not None for r in results)
-        assert n_tracked >= 0.9 * len(results), n_tracked
+        assert n_tracked == len(results), n_tracked
 
     def test_trajectory_resolves_across_recycling(self, lifecycle_run):
         tracker, poses, results = lifecycle_run
@@ -118,7 +118,7 @@ class TestLifecycleEndToEnd:
         gt_R = np.stack([poses[i][0] for i in ids])
         gt_t = np.stack([poses[i][1] for i in ids])
         rmse = ate_rmse(camera_centers(Rs, ts), camera_centers(gt_R, gt_t))
-        assert rmse < 0.25, rmse
+        assert rmse < 0.05, rmse
         # the uid-keyed relative chain must resolve every logged frame
         from orb_slam2_with_comment_tpu.system import System
         slam = System.__new__(System)

@@ -33,10 +33,10 @@ def rgbd_run():
 class TestRgbdEndToEnd:
     def test_initializes_and_tracks(self, rgbd_run):
         tracker, poses, results = rgbd_run
-        # NOTE: the tracker may end LOST on the final frames (relocalization
-        # is not wired yet); the bar is high tracking coverage.
+        # reference-parity bar: a benign synthetic orbit must hold
+        # tracking on EVERY frame (VERDICT r1 weak #3)
         n_tracked = sum(r is not None for r in results)
-        assert n_tracked >= 0.7 * len(results), n_tracked
+        assert n_tracked == len(results), n_tracked
 
     def test_keyframes_and_landmarks(self, rgbd_run):
         tracker, *_ = rgbd_run
@@ -52,6 +52,6 @@ class TestRgbdEndToEnd:
         est_c = camera_centers(Rs, ts)
         gt_c = camera_centers(gt_R, gt_t)
         rmse = ate_rmse(est_c, gt_c)
-        # trajectory spans ~1.2 m. TODO(tighten): cm-level once observation
-        # fusion + triangulation densify the covisibility graph.
-        assert rmse < 0.25, rmse
+        # trajectory spans ~1.2 m: cm-level bar (reference is 1.6 cm on
+        # fr1/desk-scale motion, BASELINE.md)
+        assert rmse < 0.05, rmse

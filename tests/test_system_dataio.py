@@ -201,7 +201,7 @@ class TestSystem:
         gt_t = np.stack([poses[i][1] for i in ids])
         rmse = ate_rmse(camera_centers(est_R, est_t),
                         camera_centers(gt_R, gt_t))
-        assert rmse < 0.25, rmse
+        assert rmse < 0.05, rmse
 
     def test_localization_mode(self, system_run):
         slam, poses, outs = system_run
