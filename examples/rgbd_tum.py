@@ -45,8 +45,7 @@ def main(argv):
             load_tracker_config)
         from orb_slam2_with_comment_tpu.pipeline import AutoTracker
         cfg = load_tracker_config(settings_path, expected_frames=len(ds))
-        cfg.sensor = "rgbd"
-        cfg.depth_factor = 1.0  # dataset loader already yields meters
+        cfg.sensor = "rgbd"  # loader yields meters; cfg.depth_factor is 1.0
         tracker = AutoTracker(cfg)
         t0 = time.perf_counter()
         for ts, rgb, depth in ds.prefetch():

@@ -150,5 +150,11 @@ def load_tracker_config(path: str, expected_frames: int | None = None,
         width=s.width, height=s.height, n_features=s.n_features,
         th_depth=s.th_depth, fps=s.fps, map_cfg=map_cfg,
         dist=tuple(float(x) for x in s.dist),
-        depth_factor=1.0 / s.depth_map_factor if s.depth_map_factor else 1.0,
+        # Depth arrives in METERS at the tracker boundary: the reference
+        # converts raw uint16 depth inside Tracking (Tracking.cc:144-148
+        # convertTo(CV_32F, 1/DepthMapFactor)); here the dataset loaders /
+        # RgbdNode own that conversion (datasets.py TumRgbdDataset divides
+        # by DepthMapFactor at decode). Scaling again here shrank the scene
+        # 5000x and froze estimated translation at the micron level.
+        depth_factor=1.0,
     )

@@ -1162,18 +1162,69 @@ def fuse_neighbors(m: MapState, cam, kf, neighbors, width: int, height: int,
     """Batched SearchInNeighbors direction pass over up to len(neighbors)
     covisible keyframes in ONE device call (neighbors padded with -1).
     into=True: project each neighbor's landmarks into ``kf``;
-    into=False: project ``kf``'s landmarks into each neighbor."""
-    def body(i, mm):
+    into=False: project ``kf``'s landmarks into each neighbor.
+
+    Observations are added per neighbor, but the duplicate MERGES are
+    accumulated across the whole pass and resolved by ONE merge_landmarks
+    call at the end: each merge rebuilds the [K*N] observation table (a
+    full sort), and per-neighbor merging made the keyframe step pay G
+    rebuilds (the map-building hot spot). Merge direction comes from the
+    observation counts at pass start — a consistent total order (count,
+    then lower slot), so the batched merge graph is acyclic."""
+    from ..matching.search import LandmarkSet, fuse_candidates
+    from ..mapstate.map import landmark_obs_count, merge_landmarks
+    G = neighbors.shape[0]
+    N = m.kf_lm.shape[1]
+    nobs0 = landmark_obs_count(m)  # direction-deciding snapshot
+
+    def body(i, carry):
+        mm, keeps, kills, oks = carry
         j = neighbors[i]
+        src_kf, dst_kf = (j, kf) if into else (kf, j)
 
-        def do(mm):
-            if into:
-                return fuse_pair(mm, cam, j, kf, width, height)
-            return fuse_pair(mm, cam, kf, j, width, height)
+        def do(args):
+            mm, keeps, kills, oks = args
+            lm_ids = mm.kf_lm[src_kf]  # [N]
+            safe = jnp.clip(lm_ids, 0)
+            has = (lm_ids >= 0) & mm.kf_feat_valid[src_kf] & mm.lm_valid[safe]
+            lmset = LandmarkSet(
+                mm.lm_pw[safe], mm.lm_normal[safe], mm.lm_dmin[safe],
+                mm.lm_dmax[safe], mm.lm_desc[safe], has)
+            feats_b = FeatureSet(
+                mm.kf_xy[dst_kf], mm.kf_ur[dst_kf], mm.kf_octave[dst_kf],
+                mm.kf_angle[dst_kf], mm.kf_desc[dst_kf],
+                mm.kf_feat_valid[dst_kf])
+            idx, dist, matched = fuse_candidates(
+                cam, mm.kf_R[dst_kf], mm.kf_t[dst_kf], lmset, feats_b,
+                width, height)
+            feat_free = mm.kf_lm[dst_kf, idx] < 0
+            already = jnp.any(mm.lm_obs_kf[safe] == dst_kf, axis=1)
+            ok = matched & feat_free & ~already & has
+            mm = add_observation(mm, safe, jnp.full(N, dst_kf, jnp.int32),
+                                 idx, ok)
+            # duplicate: the matched dst feature already belongs to ANOTHER
+            # landmark (reference: ORBmatcher::Fuse 1111-1114). Record the
+            # pair; keep-direction by (nobs0, lower slot) total order.
+            other = mm.kf_lm[dst_kf, idx]
+            dup = matched & has & (other >= 0) & (other != lm_ids)
+            so = jnp.clip(other, 0)
+            self_wins = (nobs0[safe] > nobs0[so]) | (
+                (nobs0[safe] == nobs0[so]) & (safe < so))
+            keep = jnp.where(self_wins, lm_ids, other)
+            kill = jnp.where(self_wins, other, lm_ids)
+            keeps = keeps.at[i].set(jnp.clip(keep, 0))
+            kills = kills.at[i].set(jnp.clip(kill, 0))
+            oks = oks.at[i].set(dup)
+            return mm, keeps, kills, oks
 
-        return jax.lax.cond(j >= 0, do, lambda x: x, mm)
+        return jax.lax.cond(j >= 0, do, lambda a: a,
+                            (mm, keeps, kills, oks))
 
-    return jax.lax.fori_loop(0, neighbors.shape[0], body, m)
+    init = (m, jnp.zeros((G, N), jnp.int32), jnp.zeros((G, N), jnp.int32),
+            jnp.zeros((G, N), bool))
+    m, keeps, kills, oks = jax.lax.fori_loop(0, G, body, init)
+    return merge_landmarks(m, keeps.reshape(-1), kills.reshape(-1),
+                           oks.reshape(-1))
 
 
 @partial(jax.jit, static_argnames=("width", "height"), donate_argnums=0)

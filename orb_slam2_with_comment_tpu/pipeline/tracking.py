@@ -263,7 +263,8 @@ class Tracker:
         return steps.FrameObs(fs, sd.depth,
                               jnp.full(feats.xy.shape[0], -1, jnp.int32))
 
-    def _log_pose(self, frame_id, R, t, ref_kf=None, Rcr=None, tcr=None):
+    def _log_pose(self, frame_id, R, t, ref_kf=None, Rcr=None, tcr=None,
+                  ts=None):
         # keep device arrays: forcing them to numpy here costs two tunnel
         # round trips per frame; conversion happens in trajectory_arrays()
         self.trajectory.append((frame_id, R, t))
@@ -281,8 +282,9 @@ class Tracker:
         # archived pose (reference: mlpReferences holds KeyFrame pointers
         # which survive erasure as "bad" husks, Tracking.cc:562-579)
         ref_uid = self.kf_uids[ref_kf] if ref_kf < len(self.kf_uids) else 0
-        self.rel_log.append(
-            (frame_id, self._timestamp, ref_uid, Rcr, tcr))
+        if ts is None:
+            ts = self._timestamp
+        self.rel_log.append((frame_id, ts, ref_uid, Rcr, tcr))
 
     # -- main entry ------------------------------------------------------
     def process_rgbd(self, img, depth_map, frame_id=None):
@@ -339,7 +341,11 @@ class Tracker:
             jnp.int32(cfg.desc_th_local), jnp.int32(min_obs),
             jnp.float32(th_local))
         self.map = res.map
-        entry = [res, frame_id, None, self.ref_kf, -1]
+        # capture the FRAME's timestamp now: _finalize runs several frames
+        # later (batched stats readback) when self._timestamp already holds
+        # a newer frame's value — logging it there stamped whole fetch
+        # batches with one duplicated ts in saved trajectories.
+        entry = [res, frame_id, None, self.ref_kf, -1, self._timestamp]
         self._pending.append(entry)
         self._open.append(entry)
         if len(self._open) >= self.fetch_batch:
@@ -380,7 +386,7 @@ class Tracker:
             e[4] = row
 
     def _finalize(self, res, frame_id, fut=None, ref_kf=None,
-                  row=None) -> bool:
+                  row=None, ts=None) -> bool:
         """Deferred per-frame epilogue: read the stats vector (the only
         device->host sync), run the lost/keyframe state machine for the
         frame, and update host tracking state. Returns False when the
@@ -414,7 +420,8 @@ class Tracker:
         self.velocity = (res.vel_R, res.vel_t)
         self.last_R, self.last_t = R, t
         self.last_obs = obs
-        self._log_pose(frame_id, R, t, ref_kf=ref_kf, Rcr=res.Rcr, tcr=res.tcr)
+        self._log_pose(frame_id, R, t, ref_kf=ref_kf, Rcr=res.Rcr,
+                       tcr=res.tcr, ts=ts)
 
         tracked_close, non_tracked_close = close_pack // 10000, close_pack % 10000
         if (not self.localization_only

@@ -136,6 +136,32 @@ class TestBA:
         assert float(res.chi2) < 1e-2 * prob.obs_w.size
 
 
+class TestBASolveCG:
+    """CG-on-Schur engine (ba.ba_solve_cg): must agree with the dense
+    engine — same BAProblem layout, no dense [P*6, P*6] system."""
+
+    def test_matches_dense_engine(self):
+        prob, R_gt, t_gt, X_gt = build_ba_problem(noise=0.3)
+        r_dense = ba.ba_solve(CAM, prob, iters=10, robust=True)
+        r_cg = ba.ba_solve_cg(CAM, prob, iters=10, cg_iters=50, robust=True)
+        assert float(r_cg.chi2) <= 1.05 * float(r_dense.chi2) + 1e-3, (
+            float(r_dense.chi2), float(r_cg.chi2))
+        np.testing.assert_allclose(np.asarray(r_cg.t), np.asarray(r_dense.t),
+                                   atol=2e-3)
+
+    def test_clean_converges(self):
+        prob, R_gt, t_gt, X_gt = build_ba_problem(noise=0.0)
+        res = ba.ba_solve_cg(CAM, prob, iters=15, cg_iters=50, robust=False)
+        assert float(res.chi2) < 1e-2 * prob.obs_w.size
+        np.testing.assert_allclose(np.asarray(res.t), t_gt, atol=1e-3)
+
+    def test_fixed_pose_stays(self):
+        prob, R_gt, t_gt, X_gt = build_ba_problem(noise=0.2)
+        res = ba.ba_solve_cg(CAM, prob, iters=8)
+        np.testing.assert_allclose(np.asarray(res.R[0]), R_gt[0], atol=1e-6)
+        np.testing.assert_allclose(np.asarray(res.t[0]), t_gt[0], atol=1e-6)
+
+
 class TestPoseGraph:
     def test_loop_distribution(self):
         # Chain 0..9 with identity-ish odometry, then a loop edge 9->0 whose
