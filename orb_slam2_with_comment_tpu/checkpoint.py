@@ -86,8 +86,10 @@ def save_session(path: str, tracker) -> None:
     if tracker.kf_archive:
         uids = sorted(tracker.kf_archive)
         arrays["arch_uid"] = np.asarray(uids, np.int64)
-        arrays["arch_R"] = np.stack([tracker.kf_archive[u][0] for u in uids])
-        arrays["arch_t"] = np.stack([tracker.kf_archive[u][1] for u in uids])
+        arrays["arch_anchor"] = np.asarray(
+            [tracker.kf_archive[u][0] for u in uids], np.int64)
+        arrays["arch_R"] = np.stack([tracker.kf_archive[u][1] for u in uids])
+        arrays["arch_t"] = np.stack([tracker.kf_archive[u][2] for u in uids])
     meta = {
         "state": tracker.state.name,
         "ref_kf": int(tracker.ref_kf),
@@ -123,8 +125,11 @@ def load_session(path: str, tracker) -> None:
         meta.get("kf_uid_counter", meta["n_kf_host"]))
     tracker.kf_archive = {}
     if "arch_uid" in data:
+        anchors = (data["arch_anchor"] if "arch_anchor" in data
+                   else np.full(len(data["arch_uid"]), -1, np.int64))
         for i, u in enumerate(data["arch_uid"]):
-            tracker.kf_archive[int(u)] = (data["arch_R"][i], data["arch_t"][i])
+            tracker.kf_archive[int(u)] = (
+                int(anchors[i]), data["arch_R"][i], data["arch_t"][i])
     tracker.last_R = jnp.asarray(data["last_R"])
     tracker.last_t = jnp.asarray(data["last_t"])
     tracker.velocity = ((jnp.asarray(data["vel_R"]), jnp.asarray(data["vel_t"]))
@@ -139,13 +144,11 @@ def load_session(path: str, tracker) -> None:
     # frame will relocalize/track against the restored map. Rebuild the
     # place-recognition index from keyframe descriptors.
     if tracker.n_kf_host > 0 and tracker.db is None:
-        from .place import train_vocabulary
         from .place.database import KeyFrameDatabase
         from .pipeline.loop_closing import LoopCloser
-        desc0 = np.asarray(tracker.map.kf_desc[0])
-        val0 = np.asarray(tracker.map.kf_feat_valid[0])
-        voc = train_vocabulary(desc0[val0], k=8, levels=3, seed=0)
-        tracker.db = KeyFrameDatabase(voc, tracker.map.kf_R.shape[0])
+        from .pipeline.tracking import default_vocabulary
+        tracker.db = KeyFrameDatabase(default_vocabulary(),
+                                      tracker.map.kf_R.shape[0])
         for k in range(tracker.n_kf_host):
             tracker.db.add(k, tracker.map.kf_desc[k],
                            tracker.map.kf_feat_valid[k])

@@ -42,8 +42,14 @@ class _Plane:
         """Bilinear texture at plane-local coords, domain-warped so cell
         boundaries form no global lattice (aperiodic corners)."""
         def bil(tex, ga, gb):
-            ia = np.clip(np.floor(ga).astype(np.int32), 0, tex.shape[0] - 2)
-            ib = np.clip(np.floor(gb).astype(np.int32), 0, tex.shape[1] - 2)
+            # clamp in FLOAT before the int cast: rays nearly parallel to
+            # the plane hit at ~1e12 plane-units, and float32->int32 on
+            # such values is an invalid cast (they never pass the caller's
+            # `ok` gate, so the sampled value is discarded anyway)
+            ga = np.clip(ga, 0.0, float(tex.shape[0] - 2))
+            gb = np.clip(gb, 0.0, float(tex.shape[1] - 2))
+            ia = np.floor(ga).astype(np.int32)
+            ib = np.floor(gb).astype(np.int32)
             fa = np.clip(ga - ia, 0, 1)
             fb = np.clip(gb - ib, 0, 1)
             v00 = tex[ia, ib]

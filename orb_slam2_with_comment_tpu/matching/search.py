@@ -324,21 +324,79 @@ def search_by_sim3(
     )
     idx_f1_of_lm2, ok21 = project_side(R12, t12, s12, R2w, t2w, lm2, feats1, th)
     idx_f2_of_lm1, ok12 = project_side(R21, t21, s21, R1w, t1w, lm1, feats2, th)
-    # feature index -> landmark index maps
-    n1 = feats1.desc.shape[0]
-    n2 = feats2.desc.shape[0]
-    feat2lm1 = jnp.full(n1, -1, jnp.int32).at[lm1_feat].set(
-        jnp.arange(lm1_feat.shape[0], dtype=jnp.int32))
-    feat2lm2 = jnp.full(n2, -1, jnp.int32).at[lm2_feat].set(
-        jnp.arange(lm2_feat.shape[0], dtype=jnp.int32))
-    # lm1 -> feature in 2 -> lm2 ; check lm2 -> feature in 1 -> lm1
-    lm2_of_lm1 = jnp.where(ok12, feat2lm2[idx_f2_of_lm1], -1)
-    lm1_of_lm2 = jnp.where(ok21, feat2lm1[idx_f1_of_lm2], -1)
-    m1 = jnp.arange(lm1_feat.shape[0], dtype=jnp.int32)
+    if lm1_feat is None and lm2_feat is None:
+        # identity layout (landmark row i IS feature i, the per-feature
+        # keyframe bundles of the loop closers): no feature->landmark
+        # scatter needed. This also sidesteps a TPU fusion-pass CHECK
+        # (scatter_emitter.cc) crash when one iota feeds both the scatter
+        # indices and updates of the feat2lm maps below.
+        lm2_of_lm1 = jnp.where(ok12, idx_f2_of_lm1, -1)
+        lm1_of_lm2 = jnp.where(ok21, idx_f1_of_lm2, -1)
+    else:
+        # feature index -> landmark index maps
+        n1 = feats1.desc.shape[0]
+        n2 = feats2.desc.shape[0]
+        feat2lm1 = jnp.full(n1, -1, jnp.int32).at[lm1_feat].set(
+            jnp.arange(lm1_feat.shape[0], dtype=jnp.int32))
+        feat2lm2 = jnp.full(n2, -1, jnp.int32).at[lm2_feat].set(
+            jnp.arange(lm2_feat.shape[0], dtype=jnp.int32))
+        # lm1 -> feature in 2 -> lm2 ; check lm2 -> feature in 1 -> lm1
+        lm2_of_lm1 = jnp.where(ok12, feat2lm2[idx_f2_of_lm1], -1)
+        lm1_of_lm2 = jnp.where(ok21, feat2lm1[idx_f1_of_lm2], -1)
+    n_lm1 = (lm1.pw.shape[0] if lm1_feat is None else lm1_feat.shape[0])
+    m1 = jnp.arange(n_lm1, dtype=jnp.int32)
     mutual = (lm2_of_lm1 >= 0) & (
         jnp.take(lm1_of_lm2, jnp.clip(lm2_of_lm1, 0, lm1_of_lm2.shape[0] - 1)) == m1
     )
     return lm2_of_lm1, mutual
+
+
+def search_by_scw_projection(
+    cam, Rcw, tcw, scw, lm: LandmarkSet, feats: FeatureSet,
+    already_matched, width: int, height: int, th: float = 10.0,
+):
+    """Sim3 world->camera projection search (reference: ORBmatcher.cc:359-478
+    SearchByProjection(KF, Scw, vpPoints, vpMatched, th) — the loop-group
+    landmark projection of ComputeSim3, LoopClosing.cc:459-471).
+
+    The Sim3 (s R | t) is decomposed like the reference (:367-370):
+    Rcw stays, tcw/scw is the SE3 translation, Ow = -Rcw^T tcw/scw.
+    Gates: z > 0, in-image, world distance within [dmin, dmax], viewing
+    cos >= 0.5, feature level in [pred-1, pred], window radius
+    th * scaleFactor[pred], best Hamming <= TH_LOW, no ratio test; target
+    features carrying a match already are excluded (vpMatched[idx] check).
+
+    Returns (feat_idx [M], matched [M]) — per landmark, the matched feature
+    of the keyframe. Distinct-feature counting is the caller's job (two
+    landmarks can pick the same feature in the batched sweep; the
+    reference's sequential first-writer-wins makes them distinct).
+    """
+    t_se3 = tcw / jnp.clip(scw, 1e-12, None)
+    Xc = se3.transform(Rcw, t_se3, lm.pw)
+    z = Xc[:, 2]
+    iz = 1.0 / jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    u = cam.fx * Xc[:, 0] * iz + cam.cx
+    v = cam.fy * Xc[:, 1] * iz + cam.cy
+    Ow = -jnp.einsum("ij,i->j", Rcw, t_se3)
+    PO = lm.pw - Ow
+    dist = jnp.linalg.norm(PO, axis=-1)
+    view_cos = jnp.sum(PO * lm.normal, axis=-1) / jnp.clip(dist, 1e-9, None)
+    lvl = predict_scale(dist, lm.dmax)
+    ok = (lm.valid & (z > 0)
+          & (u >= 0) & (u < width) & (v >= 0) & (v < height)
+          & (dist >= lm.dmin) & (dist <= lm.dmax)
+          & (view_cos >= 0.5))
+    radius = th * scale_at(lvl)
+    du = feats.xy[None, :, 0] - u[:, None]
+    dv = feats.xy[None, :, 1] - v[:, None]
+    in_win = (jnp.abs(du) < radius[:, None]) & (jnp.abs(dv) < radius[:, None])
+    lvl_ok = ((feats.octave[None, :] >= lvl[:, None] - 1)
+              & (feats.octave[None, :] <= lvl[:, None]))
+    mask = (in_win & lvl_ok & ok[:, None] & feats.valid[None, :]
+            & ~already_matched[None, :])
+    d = core.distance_matrix(lm.desc, feats.desc)
+    best, idx, _ = core.masked_best_two(d, mask)
+    return idx, best <= core.TH_LOW
 
 
 def fuse_candidates(

@@ -56,6 +56,11 @@ class BAResult(NamedTuple):
     X: jax.Array
     chi2: jax.Array  # final total weighted chi2
     obs_chi2: jax.Array  # [L, D] per-observation chi2 (for outlier culling)
+    # final LM damping — thread back as init_lambda when chunking one
+    # logical optimization across bounded calls (the reference's single
+    # g2o run keeps its damping schedule across all iterations; chunked
+    # GBA otherwise resets the schedule every chunk)
+    final_lambda: jax.Array = jnp.float32(1e-4)
 
 
 def _inv3x3(M: jax.Array) -> jax.Array:
@@ -281,12 +286,13 @@ def ba_solve(
         lam = jnp.where(ok, lam * 0.5, lam * 5.0).clip(1e-9, 1e8)
         return (R, t, X, lam), chi2_old
 
-    (R, t, X, _), chi2_hist = jax.lax.scan(
-        iteration, (prob.R, prob.t, prob.X, jnp.float32(init_lambda)), None, length=iters
-    )
+    (R, t, X, lam_f), chi2_hist = jax.lax.scan(
+        iteration, (prob.R, prob.t, prob.X,
+                    jnp.asarray(init_lambda, jnp.float32)), None,
+        length=iters)
     R = se3.orthonormalize(R)  # keyframe poses re-enter tracking chains
     obs_chi2 = _eval_chi2(cam, prob, R, t, X)
-    return BAResult(R, t, X, jnp.sum(obs_chi2), obs_chi2)
+    return BAResult(R, t, X, jnp.sum(obs_chi2), obs_chi2, lam_f)
 
 
 # ---------------------------------------------------------------------------
@@ -444,9 +450,10 @@ def ba_solve_cg(
         lam = jnp.where(ok, lam * 0.5, lam * 5.0).clip(1e-9, 1e8)
         return (R, t, X, lam), chi2_old
 
-    (R, t, X, _), _ = jax.lax.scan(
-        iteration, (prob.R, prob.t, prob.X, jnp.float32(init_lambda)),
+    (R, t, X, lam_f), _ = jax.lax.scan(
+        iteration, (prob.R, prob.t, prob.X,
+                    jnp.asarray(init_lambda, jnp.float32)),
         None, length=iters)
     R = se3.orthonormalize(R)
     obs_chi2 = chi2_at(R, t, X)
-    return BAResult(R, t, X, jnp.sum(obs_chi2), obs_chi2)
+    return BAResult(R, t, X, jnp.sum(obs_chi2), obs_chi2, lam_f)

@@ -101,16 +101,21 @@ class AutoState(NamedTuple):
     traj_stats: jax.Array  # [T,8] int32 per-frame statistics
 
 
+def _empty_prev(N: int) -> steps.FrameObs:
+    f32, i32 = jnp.float32, jnp.int32
+    return steps.FrameObs(
+        FeatureSet(jnp.zeros((N, 2), f32), jnp.full((N,), -1.0, f32),
+                   jnp.zeros((N,), i32), jnp.zeros((N,), f32),
+                   jnp.zeros((N, 8), jnp.uint32), jnp.zeros((N,), bool)),
+        jnp.full((N,), -1.0, f32), jnp.full((N,), -1, i32))
+
+
 def empty_auto_state(cfg: TrackerConfig, traj_capacity: int,
                      n_words: int) -> AutoState:
     N = cfg.n_features
     T = traj_capacity
     f32, i32 = jnp.float32, jnp.int32
-    prev = steps.FrameObs(
-        FeatureSet(jnp.zeros((N, 2), f32), jnp.full((N,), -1.0, f32),
-                   jnp.zeros((N,), i32), jnp.zeros((N,), f32),
-                   jnp.zeros((N, 8), jnp.uint32), jnp.zeros((N,), bool)),
-        jnp.full((N,), -1.0, f32), jnp.full((N,), -1, i32))
+    prev = _empty_prev(N)
     return AutoState(
         loop=auto_loop.empty_loop_carry(cfg.map_cfg.k_max, n_words),
         map=empty_map(cfg.map_cfg),
@@ -403,10 +408,13 @@ def build_auto_step(extractor: OrbExtractor, cfg: TrackerConfig,
         """On-device Relocalization (reference: Tracking.cc:1582-1778):
         BoW candidate keyframe -> descriptor matching -> EPnP RANSAC ->
         pose-only optimization -> local-map projection refill; accept at
-        >=50 inliers (reference :1752). Runs once per lost frame against
-        the best-scoring candidate (the reference round-robins up to 5
-        candidates across frames; the per-frame retry covers the same
-        search over consecutive frames)."""
+        >=50 inliers (reference :1752). One candidate is attempted per
+        lost frame, ROUND-ROBIN over the top-5 scoring keyframes across
+        consecutive frames (the reference iterates 5 candidates inside one
+        frame, Tracking.cc:1645-1713; spreading the same candidate set
+        over frames keeps the per-frame program single-candidate while
+        recovering recall in kidnap scenarios with similar views)."""
+        from ..ops import prims as _prims
         from ..place import vocabulary as V
         from ..solvers import pnp
         m = s.map
@@ -417,8 +425,12 @@ def build_auto_step(extractor: OrbExtractor, cfg: TrackerConfig,
         ids = jnp.arange(K, dtype=jnp.int32)
         live = m.kf_valid & (ids < m.n_kf)
         scr = jnp.where(live, scr, -1.0)
-        cand = jnp.argmax(scr).astype(jnp.int32)
-        has_cand = scr[cand] > 0
+        top_s, top_i = _prims.sort_top_k(scr, 5)
+        n_cand = jnp.sum((top_s > 0).astype(jnp.int32))
+        pick = jnp.mod(s.frame_idx - jnp.maximum(s.lost, 0),
+                       jnp.clip(n_cand, 1, None))
+        cand = top_i[pick].astype(jnp.int32)
+        has_cand = top_s[pick] > 0
         kf_lm = m.kf_lm[cand]
         kf_has = ((kf_lm >= 0) & m.kf_feat_valid[cand]
                   & m.lm_valid[jnp.clip(kf_lm, 0)])
@@ -471,6 +483,28 @@ def build_auto_step(extractor: OrbExtractor, cfg: TrackerConfig,
 
         return jax.lax.cond(ok, resume, stay_lost, s)
 
+    def do_reset(s: AutoState) -> AutoState:
+        """Full tracker reset when lost with an immature map (reference:
+        Tracking.cc:542-551 — lost with <=5 keyframes resets the whole
+        system; the map was never good). Trajectory rings are kept —
+        their rows are already marked invalid — and re-initialization
+        starts on the next frame."""
+        k_max_, n_words_ = s.loop.bow.shape
+        s = s._replace(
+            map=empty_map(cfg.map_cfg),
+            loop=auto_loop.empty_loop_carry(
+                k_max_, n_words_)._replace(key=s.loop.key),
+            prev=_empty_prev(cfg.n_features),
+            last_R=jnp.eye(3, dtype=jnp.float32),
+            last_t=jnp.zeros(3, jnp.float32),
+            have_vel=jnp.asarray(False),
+            ref_kf=jnp.int32(0), last_kf_frame=jnp.int32(-1),
+            initialized=jnp.asarray(False), lost=jnp.int32(-1),
+            init_frame_id=jnp.int32(-1))
+        return write_traj(s, s.last_R, s.last_t, s.last_R, s.last_t,
+                          jnp.int32(0), jnp.asarray(False),
+                          jnp.zeros(8, jnp.int32).at[6].set(3))  # 3 = reset
+
     def run_frame(s: AutoState, feats, d) -> AutoState:
         init_fn = (do_initialize_mono if cfg.sensor == "mono"
                    else do_initialize)
@@ -482,14 +516,20 @@ def build_auto_step(extractor: OrbExtractor, cfg: TrackerConfig,
                 lambda s: init_fn(s, feats, d), s)
 
         if has_voc:
-            def when_lost(s):
+            def try_reloc(s):
                 return do_relocalize(s, feats, d)
         else:
-            def when_lost(s):
+            def try_reloc(s):
                 # frames keep streaming; poses invalid
                 return write_traj(s, s.last_R, s.last_t, s.last_R, s.last_t,
                                   s.ref_kf, jnp.asarray(False),
                                   jnp.zeros(8, jnp.int32))
+
+        def when_lost(s):
+            # lost-early reset (reference: Tracking.cc:542-551)
+            if localization_only:
+                return try_reloc(s)
+            return jax.lax.cond(s.map.n_kf <= 5, do_reset, try_reloc, s)
 
         s = jax.lax.cond(s.lost >= 0, when_lost, when_alive, s)
         return s._replace(frame_idx=s.frame_idx + 1)
@@ -563,6 +603,35 @@ class AutoTrackerConfig:
     batch_frames: int = 1
 
 
+# Per-process cache of built (extractor, vocabulary, jitted step) keyed by
+# the full configuration. A jax.jit program is stateless — all tracker
+# state is in the AutoState argument — so trackers with identical configs
+# share ONE traced program. Without this, every AutoTracker construction
+# re-traced the ~45 MB auto_step graph (~10 s of host time) before its
+# first frame — which is pure overhead in any fresh-tracker timing (and
+# the dominant term in a from-scratch map-building measurement).
+_STEP_CACHE: dict = {}
+
+
+def _cached_step(cfg: TrackerConfig, auto_cfg: "AutoTrackerConfig"):
+    key = (repr(cfg), auto_cfg.traj_capacity, auto_cfg.loop_closing,
+           auto_cfg.localization_only)
+    hit = _STEP_CACHE.get(key)
+    if hit is not None:
+        return hit
+    extractor = OrbExtractor(n_features=cfg.n_features)
+    voc = None
+    if auto_cfg.loop_closing:
+        from ..place.vocabulary import load_default_vocabulary
+        voc = load_default_vocabulary(as_numpy=True)
+    step = build_auto_step(
+        extractor, cfg, auto_cfg.traj_capacity, voc=voc,
+        loop_closing=auto_cfg.loop_closing,
+        localization_only=auto_cfg.localization_only)
+    _STEP_CACHE[key] = (extractor, voc, step)
+    return _STEP_CACHE[key]
+
+
 class AutoTracker:
     """RGB-D tracker whose per-frame state machine runs on device.
 
@@ -584,19 +653,12 @@ class AutoTracker:
             raise ValueError("map_cfg.n_feat must equal n_features")
         self.cfg = cfg
         self.auto_cfg = auto_cfg or AutoTrackerConfig()
-        self.extractor = OrbExtractor(n_features=cfg.n_features)
-        # numpy-backed vocabulary: embedded as trace-time constants (a
-        # captured DEVICE vocabulary would trip the transport degradation;
-        # see module docstring)
-        voc = None
-        if self.auto_cfg.loop_closing:
-            from ..place.vocabulary import load_default_vocabulary
-            voc = load_default_vocabulary(as_numpy=True)
+        # extractor + numpy-backed vocabulary (embedded as trace-time
+        # constants; a captured DEVICE vocabulary would trip the transport
+        # degradation — see module docstring) + the jitted step, all shared
+        # across same-config trackers via the per-process cache
+        self.extractor, voc, self._step = _cached_step(cfg, self.auto_cfg)
         self.voc = voc
-        self._step = build_auto_step(
-            self.extractor, cfg, self.auto_cfg.traj_capacity, voc=voc,
-            loop_closing=self.auto_cfg.loop_closing,
-            localization_only=self.auto_cfg.localization_only)
         self.state = empty_auto_state(
             cfg, self.auto_cfg.traj_capacity,
             voc.n_words if voc is not None else 1)

@@ -140,10 +140,90 @@ def detect(loop: LoopCarry, m: MapState, kf) -> tuple[jax.Array, LoopCarry]:
     return cand, loop
 
 
-def _sim3_solve(loop: LoopCarry, m: MapState, cam, kf, cand, fix_scale: bool):
-    """ComputeSim3 on device: BoW-free brute Hamming match between the two
-    keyframes' landmark features, batched Horn RANSAC, Sim3 refinement.
-    Returns (ok, R12, t12, s12, new_key)."""
+def _kf_landmark_set(m: MapState, kf):
+    """Per-feature landmark bundle of a keyframe: row i = the landmark
+    matched to feature i (valid where one exists)."""
+    lm = m.kf_lm[kf]
+    safe = jnp.clip(lm, 0)
+    has = (lm >= 0) & m.kf_feat_valid[kf] & m.lm_valid[safe]
+    return msearch.LandmarkSet(
+        m.lm_pw[safe], m.lm_normal[safe], m.lm_dmin[safe], m.lm_dmax[safe],
+        m.lm_desc[safe], has), has
+
+
+def sim3_grow_matches(m: MapState, cam, kf, cand, idx, matched,
+                      R12, t12, s12):
+    """SearchBySim3 match growing (reference: LoopClosing.cc:400 ->
+    ORBmatcher::SearchBySim3 ORBmatcher.cc:1285+): mutually-consistent
+    cross-projection matches through the RANSAC Sim3, unioned with the
+    existing BoW matches (the reference only fills empty vpMatches1 slots).
+
+    Returns (grow_idx [N] feature-of-cand or -1, valid [N])."""
+    N = m.kf_lm.shape[1]
+    lmset1, has1 = _kf_landmark_set(m, kf)
+    lmset2, has2 = _kf_landmark_set(m, cand)
+    feats1 = msearch.FeatureSet(
+        m.kf_xy[kf], m.kf_ur[kf], m.kf_octave[kf], m.kf_angle[kf],
+        m.kf_desc[kf], m.kf_feat_valid[kf])
+    feats2 = msearch.FeatureSet(
+        m.kf_xy[cand], m.kf_ur[cand], m.kf_octave[cand], m.kf_angle[cand],
+        m.kf_desc[cand], m.kf_feat_valid[cand])
+    idx21, mutual = msearch.search_by_sim3(
+        cam, R12, t12, s12, m.kf_R[kf], m.kf_t[kf],
+        m.kf_R[cand], m.kf_t[cand], lmset1, lmset2, feats1, feats2,
+        None, None)
+    grow_idx = jnp.where(matched, idx,
+                         jnp.where(mutual & has1 & has2[jnp.clip(idx21, 0)],
+                                   idx21, -1))
+    return grow_idx, grow_idx >= 0
+
+
+def sim3_accept_gate(m: MapState, cam, kf, cand, R12, t12, s12,
+                     already_feats, width: int, height: int,
+                     lm_cap: int = 4096):
+    """Final loop acceptance (reference: LoopClosing.cc:440-480): project
+    the loop keyframe group's landmarks into the current keyframe through
+    Scw = S12 o T_cand_w (SearchByProjection th=10, ORBmatcher.cc:359-478)
+    and count total matched features (Sim3 matches + projections) — the
+    loop is accepted only at >= 40 (reference :471).
+
+    already_feats [N] bool: current-KF features already matched by the
+    (grown) Sim3 match set. Returns (total, ok40)."""
+    K = m.kf_R.shape[0]
+    w_cand = covisibility_weights(m, cand)
+    loop_gm = (w_cand > 0) | (jnp.arange(K) == cand)
+    obs_in_loop = jnp.any(
+        loop_gm[jnp.clip(m.lm_obs_kf, 0)] & (m.lm_obs_kf >= 0),
+        axis=1) & m.lm_valid
+    sel, g_ok = prims.gather_mask_indices(obs_in_loop, lm_cap)
+    lmset = msearch.LandmarkSet(
+        m.lm_pw[sel], m.lm_normal[sel], m.lm_dmin[sel], m.lm_dmax[sel],
+        m.lm_desc[sel], g_ok)
+    feats = msearch.FeatureSet(
+        m.kf_xy[kf], m.kf_ur[kf], m.kf_octave[kf], m.kf_angle[kf],
+        m.kf_desc[kf], m.kf_feat_valid[kf])
+    Rcw, tcw, scw = sim3.compose(R12, t12, s12,
+                                 m.kf_R[cand], m.kf_t[cand], jnp.ones(()))
+    idx, ok = msearch.search_by_scw_projection(
+        cam, Rcw, tcw, scw, lmset, feats, already_feats,
+        width, height, th=10.0)
+    N = feats.xy.shape[0]
+    # distinct matched features (batched sweep can double-assign; the
+    # reference's sequential vpMatched[idx] writes are first-wins)
+    proj_feat = jnp.zeros(N, jnp.int32).at[jnp.clip(idx, 0)].add(
+        ok.astype(jnp.int32)) > 0
+    total = (jnp.sum(proj_feat.astype(jnp.int32))
+             + jnp.sum(already_feats.astype(jnp.int32)))
+    return total, total >= 40
+
+
+def _sim3_solve(loop: LoopCarry, m: MapState, cam, kf, cand,
+                fix_scale: bool):
+    """ComputeSim3 on device (reference: LoopClosing.cc:291-487): brute
+    Hamming match between the two keyframes' landmark features, batched
+    Horn RANSAC, SearchBySim3 match growing, Sim3 refinement.
+    Returns (ok, R12, t12, s12, new_key, lm_cur, lm_cand, pair_ok,
+    matched_feats)."""
     lm1 = m.kf_lm[kf]
     lm2 = m.kf_lm[cand]
     has1 = (lm1 >= 0) & m.kf_feat_valid[kf] & m.lm_valid[jnp.clip(lm1, 0)]
@@ -167,16 +247,26 @@ def _sim3_solve(loop: LoopCarry, m: MapState, cam, kf, cand, fix_scale: bool):
     res = sim3solver.solve_ransac(
         sub, K_cam, K_cam, X1c, X2c, uv1, uv2, s2_1, s2_2, valid,
         max_iters=300, min_inliers=20, fix_scale=fix_scale)
+    # SearchBySim3 growth through the RANSAC model (reference :400)
+    grow_idx, grown = sim3_grow_matches(
+        m, cam, kf, cand, idx, matched, res.R, res.t, res.s)
+    safe_g = jnp.clip(grow_idx, 0)
+    l2g = jnp.clip(m.kf_lm[cand][safe_g], 0)
+    X2c_g = se3.transform(m.kf_R[cand], m.kf_t[cand], m.lm_pw[l2g])
+    uv2_g = m.kf_xy[cand][safe_g]
+    s2_2g = msearch.sigma2_at(m.kf_octave[cand][safe_g])
+    valid_g = grown & has1
     ref = sim3_opt.optimize_sim3(
-        K_cam, K_cam, res.R, res.t, res.s, X1c, X2c, uv1, uv2,
-        1.0 / s2_1, 1.0 / s2_2, res.inliers, iters=10, fix_scale=fix_scale)
+        K_cam, K_cam, res.R, res.t, res.s, X1c, X2c_g, uv1, uv2_g,
+        1.0 / s2_1, 1.0 / s2_2g, valid_g, iters=10, fix_scale=fix_scale)
     ok = ((n_matches >= 20) & (res.n_inliers >= 20)
           & (ref.n_inliers >= 20))  # reference :333,408
     # matched landmark pairs for the correction's Replace pass
-    pair_ok = ref.inliers & valid & (l1 != l2)
+    pair_ok = ref.inliers & valid_g & (l1 != l2g)
     lm_cur = jnp.where(pair_ok, l1, -1)
-    lm_cand = jnp.where(pair_ok, l2, -1)
-    return ok, ref.R, ref.t, ref.s, key, lm_cur, lm_cand, pair_ok
+    lm_cand = jnp.where(pair_ok, l2g, -1)
+    return (ok, ref.R, ref.t, ref.s, key, lm_cur, lm_cand, pair_ok,
+            valid_g)
 
 
 def _correct(m: MapState, cam, kf, cand, R12, t12, s12, fix_scale: bool,
@@ -312,20 +402,30 @@ def close_loop_step(loop: LoopCarry, m: MapState, cam, kf, voc,
 
     def try_sim3(args):
         m, loop = args
-        ok, R12, t12, s12, key, lm_cur, lm_cand, pair_ok = _sim3_solve(
-            loop, m, cam, kf, cand, fix_scale)
+        (ok, R12, t12, s12, key, lm_cur, lm_cand, pair_ok,
+         matched_feats) = _sim3_solve(loop, m, cam, kf, cand, fix_scale)
         loop = loop._replace(key=key)
 
-        def do_correct(args):
+        def check40(args):
             m, loop = args
-            m = _correct(m, cam, kf, cand, R12, t12, s12, fix_scale,
-                         lm_cur, lm_cand, pair_ok, loop.loop_edges,
-                         width, height)
-            i, j = jnp.minimum(kf, cand), jnp.maximum(kf, cand)
-            return m, loop._replace(
-                last_loop_kf=kf, n_loops=loop.n_loops + 1,
-                loop_edges=loop.loop_edges.at[i, j].set(True))
+            # final acceptance: loop-group landmark projection must reach
+            # >= 40 total matches (reference: LoopClosing.cc:459-471)
+            _, ok40 = sim3_accept_gate(
+                m, cam, kf, cand, R12, t12, s12, matched_feats,
+                width, height)
 
-        return jax.lax.cond(ok, do_correct, lambda a: a, (m, loop))
+            def do_correct(args):
+                m, loop = args
+                m = _correct(m, cam, kf, cand, R12, t12, s12, fix_scale,
+                             lm_cur, lm_cand, pair_ok, loop.loop_edges,
+                             width, height)
+                i, j = jnp.minimum(kf, cand), jnp.maximum(kf, cand)
+                return m, loop._replace(
+                    last_loop_kf=kf, n_loops=loop.n_loops + 1,
+                    loop_edges=loop.loop_edges.at[i, j].set(True))
+
+            return jax.lax.cond(ok40, do_correct, lambda a: a, (m, loop))
+
+        return jax.lax.cond(ok, check40, lambda a: a, (m, loop))
 
     return jax.lax.cond(cand >= 0, try_sim3, lambda a: a, (m, loop))

@@ -164,16 +164,36 @@ class LoopCloser:
             max_iters=300, min_inliers=20, fix_scale=self.fix_scale)
         if int(res.n_inliers) < 20:  # reference :408
             return None
+        # SearchBySim3 match growing through the RANSAC model (reference:
+        # LoopClosing.cc:400 -> ORBmatcher::SearchBySim3 :1285+), then
+        # refine on the grown set
+        from . import auto_loop
+        grow_idx, grown = auto_loop.sim3_grow_matches(
+            m, cam, jnp.int32(kf), jnp.int32(cand), idx, matched,
+            res.R, res.t, res.s)
+        safe_g = jnp.clip(grow_idx, 0)
+        l2g = jnp.clip(m.kf_lm[cand][safe_g], 0)
+        X2c_g = se3.transform(m.kf_R[cand], m.kf_t[cand], m.lm_pw[l2g])
+        uv2_g = m.kf_xy[cand][safe_g]
+        s2_2g = msearch.sigma2_at(m.kf_octave[cand][safe_g])
+        valid_g = grown & has1
         ref = sim3_opt.optimize_sim3(
-            K, K, res.R, res.t, res.s, X1c, X2c, uv1, uv2,
-            1.0 / s2_1, 1.0 / s2_2, res.inliers,
+            K, K, res.R, res.t, res.s, X1c, X2c_g, uv1, uv2_g,
+            1.0 / s2_1, 1.0 / s2_2g, valid_g,
             iters=10, fix_scale=self.fix_scale)
         if int(ref.n_inliers) < 20:
             return None
+        # final acceptance: project the loop group's landmarks through
+        # Scw (th=10) and require >= 40 total matches (reference :459-471)
+        _, ok40 = auto_loop.sim3_accept_gate(
+            m, cam, jnp.int32(kf), jnp.int32(cand), ref.R, ref.t, ref.s,
+            valid_g, self.width, self.height)
+        if not bool(ok40):
+            return None
         return Sim3Result(ref.R, ref.t, ref.s, int(ref.n_inliers),
-                          jnp.where(valid, l1, -1),
-                          jnp.where(valid, l2, -1),
-                          ref.inliers & valid)
+                          jnp.where(valid_g, l1, -1),
+                          jnp.where(valid_g, l2g, -1),
+                          ref.inliers & valid_g)
 
     # -- correction -----------------------------------------------------
     def correct(self, m: MapState, kf: int, cand: int,
@@ -383,6 +403,9 @@ class LoopCloser:
             "n_kf": int(m.n_kf), "n_lm": int(m.n_lm),
             "left": self.gba_total_iters,
             "gen": self.gba_generation,
+            # LM damping carried ACROSS chunks so the chunked GBA follows
+            # the same damping schedule as one continuous 10-iteration run
+            "lam": jnp.float32(1e-4),
         }
 
     def gba_running(self) -> bool:
@@ -399,10 +422,13 @@ class LoopCloser:
         iters = min(self.gba_chunk_iters, g["left"])
         prob = g["prob"]
         if g["Pp"] <= 64:
-            res = ba.ba_solve(self.cam, prob, iters=iters, robust=True)
+            res = ba.ba_solve(self.cam, prob, iters=iters, robust=True,
+                              init_lambda=g["lam"])
         else:
-            res = ba.ba_solve_cg(self.cam, prob, iters=iters, robust=True)
+            res = ba.ba_solve_cg(self.cam, prob, iters=iters, robust=True,
+                                 init_lambda=g["lam"])
         g["prob"] = prob._replace(R=res.R, t=res.t, X=res.X)
+        g["lam"] = res.final_lambda
         g["left"] -= iters
         if g["left"] > 0:
             return None

@@ -478,7 +478,13 @@ def track_local_map(
     L = m.lm_pw.shape[0]
     lm_cap = min(lm_cap, L)
     # exclude landmarks already matched in this frame and features already used
-    already_lm = jnp.zeros(L, bool).at[jnp.clip(frame_lm, 0)].set(frame_lm >= 0)
+    # scatter-ADD of 0/1 counts, not scatter-set of bools: unmatched
+    # features all clip to index 0, and a scatter-set with conflicting
+    # duplicate values (True from a real match to slot 0, False from
+    # clipped -1 entries) is nondeterministic. (Scatter-max over PRED
+    # trips a TPU fusion-pass CHECK — scatter_emitter.cc — so add+compare.)
+    already_lm = jnp.zeros(L, jnp.int32).at[jnp.clip(frame_lm, 0)].add(
+        (frame_lm >= 0).astype(jnp.int32)) > 0
     cand = local_lm_mask & m.lm_valid & ~already_lm
     sel, g_ok = prims.gather_mask_indices(cand, lm_cap)
     lmset = msearch.LandmarkSet(
@@ -497,7 +503,8 @@ def track_local_map(
     # matched landmarks; found++ for post-optimization inlier matches
     vis_inc = (jnp.zeros(L, jnp.int32).at[sel].add(fr.visible.astype(jnp.int32))
                + already_lm.astype(jnp.int32))
-    found_mask = jnp.zeros(L, bool).at[jnp.clip(result.lm, 0)].set(result.lm >= 0)
+    found_mask = jnp.zeros(L, jnp.int32).at[jnp.clip(result.lm, 0)].add(
+        (result.lm >= 0).astype(jnp.int32)) > 0
     m = m._replace(
         lm_visible=m.lm_visible + vis_inc,
         lm_found=m.lm_found + found_mask.astype(jnp.int32),
@@ -524,11 +531,15 @@ def local_landmark_mask(m: MapState, ref_kf) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 @partial(jax.jit,
-         static_argnames=("iters_a", "free_cap", "fixed_cap", "lm_cap"),
+         static_argnames=("iters_a", "free_cap", "fixed_cap", "lm_cap",
+                          "erase_outliers", "with_lambda"),
          donate_argnums=0)
 def local_bundle_adjustment(m: MapState, cam, cur_kf, iters_a: int = 5,
                             free_cap: int = 16, fixed_cap: int = 8,
-                            lm_cap: int = 8192) -> MapState:
+                            lm_cap: int = 8192,
+                            erase_outliers: bool = True,
+                            with_lambda: bool = False,
+                            init_lambda=1e-4):
     """LocalBundleAdjustment (reference: Optimizer.cc:483-808): free poses =
     current KF + its covisible neighbors, fixed = other KFs observing a
     local landmark; landmarks of free KFs optimized; outlier observations
@@ -542,7 +553,13 @@ def local_bundle_adjustment(m: MapState, cam, cur_kf, iters_a: int = 5,
     lets KITTI-scale maps (K≈1500, L≈10^5) track at the same rate as the
     64-keyframe toy maps. The reference's local window is likewise bounded
     in practice (covisible neighbors only); overflowing landmarks simply sit
-    out this round and are re-gathered next keyframe."""
+    out this round and are re-gathered next keyframe.
+
+    Chunking: with erase_outliers=False the outlier erasure pass is
+    skipped (run it only in the LAST chunk of a maintenance-amortized BA,
+    mirroring the reference's 5-iter -> outlier pass -> 10-iter order);
+    with_lambda=True returns (map, final_lambda) so the next chunk can
+    resume the LM damping schedule via init_lambda."""
     from ..mapstate.map import covisibility_weights
     K, N = m.kf_lm.shape
     L, D = m.lm_obs_kf.shape
@@ -593,7 +610,8 @@ def local_bundle_adjustment(m: MapState, cam, cur_kf, iters_a: int = 5,
         obs_pose=jnp.clip(lp, 0), obs_uvr=uvr, obs_w=wgt,
         pose_fixed=pose_fixed, point_valid=g_ok,
     )
-    res = ba.ba_solve(cam, prob, iters=iters_a, robust=True)
+    res = ba.ba_solve(cam, prob, iters=iters_a, robust=True,
+                      init_lambda=init_lambda)
     # scatter optimized poses / landmarks back into the map
     upd = pose_ok & ~pose_fixed
     kf_R = m.kf_R.at[safe_pose].set(
@@ -602,28 +620,32 @@ def local_bundle_adjustment(m: MapState, cam, cur_kf, iters_a: int = 5,
         jnp.where(upd[:, None], res.t, m.kf_t[safe_pose]))
     lm_pw = m.lm_pw.at[sel].set(
         jnp.where(g_ok[:, None], res.X, m.lm_pw[sel]))
-    # second stage without robust kernel on inliers only (reference: 5 iters
-    # robust, outlier pass, 10 more): here one fused pass — erase outliers.
-    is_stereo = uvr[..., 2] >= 0
-    chi_th = jnp.where(is_stereo, 7.815, 5.991)
-    outlier = (res.obs_chi2 > chi_th) & (wgt > 0)
-    new_rows = jnp.where(outlier, -1, obs_kf_g)
-    lm_obs_kf = m.lm_obs_kf.at[sel].set(new_rows)
-    back_ok = m.kf_lm[kf_i, obs_feat_g] == sel[:, None]
-    clear = outlier & back_ok
-    kf_lm = m.kf_lm.at[kf_i, obs_feat_g].set(
-        jnp.where(clear, -1, m.kf_lm[kf_i, obs_feat_g]))
-    # Landmarks whose last observation was just erased are dead weight:
-    # they stay matchable by descriptor but are no longer anchored by any
-    # keyframe, so BA never corrects them and they poison projection
-    # matching (the reference's MapPointCulling handles this the next
-    # round; with culling running before BA in the fused keyframe step the
-    # orphans would otherwise survive forever).
-    nobs_after = jnp.sum(new_rows >= 0, axis=1)
-    lm_valid = m.lm_valid.at[sel].set(
-        m.lm_valid[sel] & jnp.where(g_ok, nobs_after > 0, True))
-    return m._replace(kf_R=kf_R, kf_t=kf_t, lm_pw=lm_pw,
-                      lm_obs_kf=lm_obs_kf, kf_lm=kf_lm, lm_valid=lm_valid)
+    m = m._replace(kf_R=kf_R, kf_t=kf_t, lm_pw=lm_pw)
+    if erase_outliers:
+        # second stage without robust kernel on inliers only (reference: 5
+        # iters robust, outlier pass, 10 more): fused pass — erase outliers.
+        is_stereo = uvr[..., 2] >= 0
+        chi_th = jnp.where(is_stereo, 7.815, 5.991)
+        outlier = (res.obs_chi2 > chi_th) & (wgt > 0)
+        new_rows = jnp.where(outlier, -1, obs_kf_g)
+        lm_obs_kf = m.lm_obs_kf.at[sel].set(new_rows)
+        back_ok = m.kf_lm[kf_i, obs_feat_g] == sel[:, None]
+        clear = outlier & back_ok
+        kf_lm = m.kf_lm.at[kf_i, obs_feat_g].set(
+            jnp.where(clear, -1, m.kf_lm[kf_i, obs_feat_g]))
+        # Landmarks whose last observation was just erased are dead weight:
+        # they stay matchable by descriptor but are no longer anchored by
+        # any keyframe, so BA never corrects them and they poison
+        # projection matching (the reference's MapPointCulling handles this
+        # the next round; with culling running before BA in the fused
+        # keyframe step the orphans would otherwise survive forever).
+        nobs_after = jnp.sum(new_rows >= 0, axis=1)
+        lm_valid = m.lm_valid.at[sel].set(
+            m.lm_valid[sel] & jnp.where(g_ok, nobs_after > 0, True))
+        m = m._replace(lm_obs_kf=lm_obs_kf, kf_lm=kf_lm, lm_valid=lm_valid)
+    if with_lambda:
+        return m, res.final_lambda
+    return m
 
 
 @partial(jax.jit, donate_argnums=0)

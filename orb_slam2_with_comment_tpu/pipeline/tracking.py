@@ -67,6 +67,20 @@ class TrackState(enum.Enum):
     LOST = 2
 
 
+_VOC_CACHE: dict = {}
+
+
+def default_vocabulary():
+    """The packaged offline-trained vocabulary, loaded once per process
+    (reference: System loads ORBvoc.txt at construction, System.cc:71 —
+    the ~10-20 s parse there is a ~100 ms npz load here). numpy-backed so
+    jitted users embed the tree as trace constants."""
+    if "voc" not in _VOC_CACHE:
+        from ..place.vocabulary import load_default_vocabulary
+        _VOC_CACHE["voc"] = load_default_vocabulary(as_numpy=True)
+    return _VOC_CACHE["voc"]
+
+
 @dataclass
 class TrackerConfig:
     sensor: str = "rgbd"  # "mono" | "stereo" | "rgbd"
@@ -164,9 +178,16 @@ class Tracker:
         # keyframe identity across slot recycling: kf_uids[slot] is the
         # stable uid of the keyframe living in that slot (uid = insertion
         # order); rel_log keys trajectory reference keyframes by uid, and
-        # compaction archives evicted keyframes' poses under their uid.
+        # compaction archives evicted keyframes under their uid.
+        # Archive entries are RELATIVE to a live anchor keyframe:
+        # uid -> (anchor_uid, R_rel, t_rel) with T_evicted = rel o T_anchor
+        # at archive time, so loop-closure / GBA corrections applied to the
+        # live map AFTER a compaction still propagate into trajectories
+        # resolved through archived keyframes (the reference instead walks
+        # the spanning tree to a live parent, System.cc:376-382). An
+        # anchor_uid of -1 marks an absolute entry (legacy checkpoints).
         self.kf_uids: list[int] = []
-        self.kf_archive: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        self.kf_archive: dict[int, tuple[int, np.ndarray, np.ndarray]] = {}
         self._kf_uid_counter = 0
         self._maintenance_due = False
         self._counter_fut = None
@@ -405,8 +426,8 @@ class Tracker:
         min_local = (50 if frame_id < self.last_reloc_frame + self.cfg.fps
                      else 30)
         if track1_in < 10 or local_in < min_local:
-            self.state = TrackState.LOST
-            self.velocity = None
+            if self._lost_transition():
+                return False  # lost-early reset: map wiped, re-init next
             if self.db is not None:
                 obs = steps.FrameObs(res.feats, res.depth, res.lm)
                 self._relocalize(obs, frame_id)
@@ -430,6 +451,45 @@ class Tracker:
                     frame_id)):
             self._create_keyframe(obs, R, t, frame_id)
         return True
+
+    def reset(self):
+        """Tracking::Reset (reference: Tracking.cc:1780-1826): clear the
+        map, the place-recognition database and all per-run state; the
+        next frame re-initializes. Compiled step programs are reused (the
+        map shapes don't change)."""
+        self.map = empty_map(self.cfg.map_cfg)
+        self.state = TrackState.NOT_INITIALIZED
+        self.last_obs = None
+        self.velocity = None
+        self.ref_kf = 0
+        self.last_kf_frame = -1
+        self.n_kf_host = 0
+        self._n_inliers = 0
+        self.kf_uids = []
+        self.kf_archive = {}
+        self._kf_uid_counter = 0
+        self.db = None
+        self.loop_closer = None
+        self._init_obs = None
+        self._init_frame_id = -1
+        self._pending.clear()
+        self._open.clear()
+        self._pending_loop = None
+        self._counter_fut = None
+        self._maintenance_due = False
+        self.trajectory.clear()
+        self.rel_log.clear()
+
+    def _lost_transition(self) -> bool:
+        """Entering LOST: reset outright when the map is immature
+        (reference: Tracking.cc:542-551 — lost with <=5 keyframes means
+        the map was never good). Returns True if a reset happened."""
+        if self.n_kf_host <= 5:
+            self.reset()
+            return True
+        self.state = TrackState.LOST
+        self.velocity = None
+        return False
 
     def _finish_pending_loop(self):
         """Complete a deferred loop-closure detection (if any)."""
@@ -549,16 +609,26 @@ class Tracker:
         from ..mapstate.map import compact_keyframes
         valid = np.asarray(m.kf_valid)
         n_live = int(valid.sum())
-        # archive evicted keyframes' poses under their stable uid (culled
-        # KFs are redundant — >=90% of their points have >=3 other
-        # observers — so their pose is final enough for trajectory export;
-        # the reference re-chains through the spanning tree instead,
-        # System.cc:376-382)
+        # archive evicted keyframes RELATIVE to a live anchor (the nearest
+        # live keyframe by slot order — the temporal-chain counterpart of
+        # the reference's spanning-tree walk, System.cc:376-382): storing
+        # T_evicted o T_anchor^-1 keeps archived trajectory references
+        # consistent when a later loop closure / GBA moves the live map.
         kf_R = np.asarray(m.kf_R)
         kf_t = np.asarray(m.kf_t)
+        live_slots = np.where(valid)[0]
         for slot, uid in enumerate(self.kf_uids):
-            if not valid[slot]:
-                self.kf_archive[uid] = (kf_R[slot].copy(), kf_t[slot].copy())
+            if valid[slot]:
+                continue
+            if len(live_slots) == 0:
+                self.kf_archive[uid] = (-1, kf_R[slot].copy(),
+                                        kf_t[slot].copy())
+                continue
+            anchor = int(live_slots[np.argmin(np.abs(live_slots - slot))])
+            Ra, ta = kf_R[anchor], kf_t[anchor]
+            R_rel = kf_R[slot] @ Ra.T
+            t_rel = kf_t[slot] - R_rel @ ta
+            self.kf_archive[uid] = (self.kf_uids[anchor], R_rel, t_rel)
         # old->new slot map (stable: live keyframes keep temporal order)
         rank = np.cumsum(valid) - valid
         old_uids = self.kf_uids
@@ -650,12 +720,12 @@ class Tracker:
         self.last_obs = obs._replace(lm=self.map.kf_lm[1])
         self.state = TrackState.OK
         self._log_pose(frame_id, self.last_R, self.last_t)
-        from ..place import train_vocabulary
+        # place recognition on the packaged vocabulary (reference: the
+        # pre-trained ORBvoc.txt loaded at System construction, System.cc:71)
         from ..place.database import KeyFrameDatabase
         from .loop_closing import LoopCloser
-        descs = np.asarray(obs.feats.desc)[np.asarray(obs.feats.valid)]
-        voc = train_vocabulary(descs, k=8, levels=3, seed=0)
-        self.db = KeyFrameDatabase(voc, self.map.kf_R.shape[0])
+        self.db = KeyFrameDatabase(default_vocabulary(),
+                                   self.map.kf_R.shape[0])
         self.db.add(0, ref.feats.desc, ref.feats.valid)
         self.db.add(1, obs.feats.desc, obs.feats.valid)
         self.loop_closer = LoopCloser(self.cfg.cam, self.db, fix_scale=False,
@@ -687,8 +757,8 @@ class Tracker:
             return None
         R, t, obs, ok = self._track(obs, frame_id)
         if not ok:
-            self.state = TrackState.LOST
-            self.velocity = None
+            if self._lost_transition():
+                return None  # lost-early reset (Tracking.cc:542-551)
             if self.db is not None and self._relocalize(obs, frame_id):
                 return self.last_R, self.last_t
             return None
@@ -748,13 +818,12 @@ class Tracker:
         self.last_kf_frame = frame_id
         self.state = TrackState.OK
         self._log_pose(frame_id, R, t)
-        # bootstrap place recognition
-        from ..place import train_vocabulary
+        # place recognition on the packaged vocabulary (reference:
+        # System.cc:71 loads the pre-trained ORBvoc.txt)
         from ..place.database import KeyFrameDatabase
         from .loop_closing import LoopCloser
-        descs = np.asarray(obs.feats.desc)[np.asarray(obs.feats.valid)]
-        voc = train_vocabulary(descs, k=8, levels=3, seed=0)
-        self.db = KeyFrameDatabase(voc, self.map.kf_R.shape[0])
+        self.db = KeyFrameDatabase(default_vocabulary(),
+                                   self.map.kf_R.shape[0])
         self.db.add(0, obs.feats.desc, obs.feats.valid)
         self.loop_closer = LoopCloser(self.cfg.cam, self.db, fix_scale=True,
                                       width=self.cfg.width, height=self.cfg.height)
@@ -914,8 +983,12 @@ class Tracker:
         has = (kf_lm >= 0) & m.kf_feat_valid[c] & m.lm_valid[safe_lm]
         # exclude landmarks already matched into the frame
         L = m.lm_pw.shape[0]
-        already_lm = jnp.zeros(L, bool).at[jnp.clip(frame_lm, 0)].set(
-            frame_lm >= 0)
+        # scatter-add of 0/1 counts, not scatter-set of bools: clipped -1
+        # entries would race True writes at slot 0 (duplicate-index
+        # scatter-set is nondeterministic; PRED scatter-max trips a TPU
+        # fusion CHECK)
+        already_lm = jnp.zeros(L, jnp.int32).at[jnp.clip(frame_lm, 0)].add(
+            (frame_lm >= 0).astype(jnp.int32)) > 0
         has = has & ~already_lm[safe_lm]
         lmset = ms.LandmarkSet(
             m.lm_pw[safe_lm], m.lm_normal[safe_lm], m.lm_dmin[safe_lm],

@@ -118,10 +118,15 @@ class KeyFrameDatabase:
         cand = np.where(s > 0)[0]
         if len(cand) == 0:
             return []
-        # keep the strongest prefilter the dense path can express: drop
-        # candidates far below the best raw score (the reference's
-        # 0.8 * maxCommonWords shared-word gate plays this role)
-        cand = cand[s[cand] >= 0.8 * s[cand].max()]
+        # No raw-score prefilter before group accumulation: the reference's
+        # 0.8 gate is on shared-WORD counts (inverted-file bookkeeping) and
+        # its 0.75 cut applies to ACCUMULATED group scores
+        # (KeyFrameDatabase.cc:231,268-299) — a candidate with a weak
+        # individual score but a strong covisibility group must survive to
+        # the accumulation stage. A word-count proxy: drop only candidates
+        # whose score is negligible relative to the best (guards the O(K)
+        # host loop, not recall).
+        cand = cand[s[cand] >= 0.05 * s[cand].max()]
         covis = np.asarray(covisibility_matrix(m))
         acc: dict[int, float] = {}
         best_of_group: dict[int, int] = {}

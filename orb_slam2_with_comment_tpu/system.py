@@ -211,16 +211,34 @@ class System:
                 rows.append((ts, kf_R[k], kf_t[k]))
             return rows
         slot_of_uid = {uid: slot for slot, uid in enumerate(tr.kf_uids)}
+
+        def resolve(uid, depth=0):
+            """uid -> current world pose: live slot directly, archived
+            entries through their rel-to-anchor chain (the reference's
+            spanning-tree walk to a live parent, System.cc:376-382) — so
+            corrections applied after a compaction still propagate."""
+            slot = slot_of_uid.get(uid)
+            if slot is not None:
+                return kf_R[slot], kf_t[slot]
+            entry = tr.kf_archive.get(uid)
+            if entry is None or depth > len(tr.kf_archive):
+                return None
+            anchor_uid, R_rel, t_rel = entry
+            if anchor_uid < 0:  # absolute (legacy checkpoint)
+                return R_rel, t_rel
+            base = resolve(anchor_uid, depth + 1)
+            if base is None:
+                return None
+            Ra, ta = base
+            return R_rel @ Ra, R_rel @ ta + t_rel
+
         for frame_id, ts, ref_uid, Rcr, tcr in tr.rel_log:
             Rcr = np.asarray(Rcr)
             tcr = np.asarray(tcr)
-            slot = slot_of_uid.get(ref_uid)
-            if slot is not None:
-                Rr, tr_ = kf_R[slot], kf_t[slot]
-            elif ref_uid in tr.kf_archive:
-                Rr, tr_ = tr.kf_archive[ref_uid]
-            else:  # pre-compaction log against a never-archived uid: skip
+            base = resolve(ref_uid)
+            if base is None:  # pre-compaction log, never archived: skip
                 continue
+            Rr, tr_ = base
             Rcw = Rcr @ Rr
             tcw = Rcr @ tr_ + tcr
             rows.append((ts, Rcw, tcw))

@@ -93,8 +93,30 @@ def test_relative_chain_consistency(tracked):
         assert np.allclose(rel_w, rel_r, atol=2e-3)
 
 
-def test_trajectory_tum_lines(tracked):
-    out, poses, n = tracked
+def test_trajectory_tum_lines():
+    """trajectory_tum() lines agree with finalize(): one line per valid
+    frame, strictly increasing timestamps, unit quaternions, and the
+    translation column equals the camera center -R^T t."""
+    n = 8
+    frames, poses = _frames(n)
+    tr = AutoTracker(_cfg())
+    for img, depth in frames:
+        tr.process_rgbd(img, depth)
+    lines = tr.trajectory_tum()
+    out = tr.finalize()
+    valid_idx = [i for i in range(len(out["timestamps"])) if out["valid"][i]]
+    assert len(lines) == len(valid_idx)
+    prev_ts = -np.inf
+    for line, i in zip(lines, valid_idx):
+        parts = [float(x) for x in line.split()]
+        assert len(parts) == 8
+        ts, tx, ty, tz, qx, qy, qz, qw = parts
+        assert ts > prev_ts
+        prev_ts = ts
+        assert abs(qx * qx + qy * qy + qz * qz + qw * qw - 1.0) < 1e-4
+        R, t = out["R"][i], out["t"][i]
+        C = -R.T @ t
+        assert np.allclose([tx, ty, tz], C, atol=1e-5)
 
 
 def test_tum_export_format():
@@ -290,10 +312,14 @@ def test_lost_then_relocalizes_on_device():
     mapped view must trigger the on-device relocalization (BoW candidate
     -> EPnP RANSAC -> pose opt -> local refill, reference
     Tracking.cc:1582-1778) and resume tracking."""
-    n = 10
+    # enough frames that the map holds >5 keyframes before the kidnap:
+    # with <=5 the tracker must RESET instead (reference Tracking.cc:542-551
+    # — covered by test_lost_early_resets_on_device)
+    n = 21
     frames, poses = _frames(n)
     tr = AutoTracker(_cfg())
-    for img, depth in frames[:6]:
+    n_build = 18
+    for img, depth in frames[:n_build]:
         tr.process_rgbd(img, depth)
     img0 = np.zeros((480, 640), np.uint8)
     d0 = np.zeros((480, 640), np.uint16)
@@ -304,11 +330,36 @@ def test_lost_then_relocalizes_on_device():
         tr.process_rgbd(img, depth)
     out = tr.finalize()
     assert out["initialized"]
-    assert out["valid"][:6].all()
-    assert not out["valid"][6:9].any()  # lost on the black frames
-    assert out["valid"][9:].all(), "did not relocalize on revisit"
+    assert out["valid"][:n_build].all()
+    assert not out["valid"][n_build:n_build + 3].any()  # lost on black
+    r = n_build + 3
+    assert out["valid"][r:].all(), "did not relocalize on revisit"
     assert out["lost_at"] == -1  # recovered
-    assert (out["stats"][9][6]) == 2  # reloc marker
+    assert (out["stats"][r][6]) == 2  # reloc marker
     # recovered pose matches the revisited ground truth
-    err = np.linalg.norm(out["t"][9] - poses[2][1])
+    err = np.linalg.norm(out["t"][r] - poses[2][1])
     assert err < 0.05, f"reloc pose err {err}"
+
+
+def test_lost_early_resets_on_device():
+    """Lost with an immature map (<=5 keyframes) must RESET the whole
+    tracker instead of staying LOST (reference: Tracking.cc:542-551), then
+    re-initialize on the next good frames."""
+    n = 12
+    frames, poses = _frames(n)
+    tr = AutoTracker(_cfg())
+    for img, depth in frames[:4]:  # small map: <=2 keyframes
+        tr.process_rgbd(img, depth)
+    img0 = np.zeros((480, 640), np.uint8)
+    d0 = np.zeros((480, 640), np.uint16)
+    for _ in range(2):
+        tr.process_rgbd(img0, d0)  # lose tracking -> reset branch
+    for img, depth in frames[6:]:
+        tr.process_rgbd(img, depth)  # fresh map re-initializes
+    out = tr.finalize()
+    assert out["initialized"], "did not re-initialize after reset"
+    assert out["lost_at"] == -1
+    # a reset marker (stats[6] == 3) appears after the kidnap
+    assert (out["stats"][4:, 6] == 3).any()
+    # the fresh map's keyframes restart from the re-initialization
+    assert out["valid"][-3:].all()
