@@ -13,7 +13,18 @@ vocabulary load + first-run warmup, which its timing tables also exclude);
 then THREE timed passes re-track the same trajectory against the built map
 and the reported rate is the MEDIAN pass (the TPU is reached through a
 shared network tunnel whose throughput fluctuates run to run; the median
-de-noises that interference without hiding steady-state cost).
+de-noises that interference without hiding steady-state cost). Since the
+on-device map lifecycle landed, the steady-state passes are NOT
+mapping-free: keyframe insertion + amortized maintenance keep running
+whenever the NeedNewKeyFrame rules fire (slot recycling makes capacity a
+non-issue), exactly as in a production revisit — so the steady-state and
+map-building figures now bracket a narrower honest range.
+
+The map-building figure (extra.map_building_fps) times a FRESH tracker
+over one from-scratch pass including initialization and all keyframe
+maintenance — the workload that actually is SLAM; it shares the compiled
+step program (pipeline.auto._STEP_CACHE), so the number measures the
+engine, not tracing overhead.
 
 The tracker is pipeline.auto.AutoTracker: the entire per-frame state
 machine (initialization gate, motion-model/reference-KF/local-map

@@ -88,6 +88,21 @@ class AutoState(NamedTuple):
     # monocular two-view bootstrap: frame index of the stored reference
     # frame (-1 = none; the reference bundle itself lives in `prev`)
     init_frame_id: jax.Array  # [] int32
+    # amortized keyframe maintenance (the reference's LocalMapping thread,
+    # LocalMapping.cc:47-128, re-expressed as bounded per-frame phases):
+    # a freshly inserted keyframe only creates its depth landmarks in the
+    # insert frame; fusion / triangulation / merging / refresh / culling /
+    # local BA / loop closing run as ONE phase per subsequent frame, so no
+    # single frame pays the whole maintenance chunk. A new keyframe
+    # preempts an unfinished predecessor (reference: mbAbortBA,
+    # LocalMapping.cc:134).
+    maint_kf: jax.Array  # [] int32 keyframe under maintenance (-1 idle)
+    maint_phase: jax.Array  # [] int32 next phase index
+    maint_neighbors: jax.Array  # [10] int32 covis window (-1 padded)
+    maint_lambda: jax.Array  # [] f32 local-BA damping carried across chunks
+    # map-lifecycle counters (slot recycling events, for observability)
+    n_compact_lm: jax.Array  # [] int32
+    n_compact_kf: jax.Array  # [] int32
     # trajectory ring buffers [T, ...] (reference: mlRelativeFramePoses +
     # mlpReferences relative chain, Tracking.cc:562-579 — Rcr/tcr vs the
     # reference keyframe AS OF the frame, so later keyframe corrections
@@ -127,6 +142,10 @@ def empty_auto_state(cfg: TrackerConfig, traj_capacity: int,
         frame_idx=jnp.int32(0),
         initialized=jnp.asarray(False), lost=jnp.int32(-1),
         init_frame_id=jnp.int32(-1),
+        maint_kf=jnp.int32(-1), maint_phase=jnp.int32(0),
+        maint_neighbors=jnp.full((10,), -1, i32),
+        maint_lambda=jnp.float32(1e-4),
+        n_compact_lm=jnp.int32(0), n_compact_kf=jnp.int32(0),
         traj_R=jnp.tile(jnp.eye(3, dtype=f32), (T, 1, 1)),
         traj_t=jnp.zeros((T, 3), f32),
         traj_Rcr=jnp.tile(jnp.eye(3, dtype=f32), (T, 1, 1)),
@@ -204,6 +223,90 @@ def build_auto_step(extractor: OrbExtractor, cfg: TrackerConfig,
 
         return jax.lax.cond(ok, init, lambda s: s, s)
 
+    # ---- amortized keyframe-maintenance phases (reference: the
+    # LocalMapping thread's per-keyframe pipeline, LocalMapping.cc:47-128,
+    # split into bounded chunks run one-per-frame after insertion) ----
+    from ..mapstate.map import covisibility_weights
+    from ..ops import prims as _prims
+
+    def ph_fuse_in(m, loop, nbrs, lam, kf):
+        """Covisibility window + inward fusion (SearchInNeighbors pass 1,
+        reference LocalMapping.cc:589-633)."""
+        w = covisibility_weights(m, kf)
+        kk = min(10, k_max)
+        top_w, top_i = _prims.sort_top_k(w, kk)
+        nbrs = jnp.full((10,), -1, jnp.int32).at[:kk].set(
+            jnp.where(top_w > 0, top_i.astype(jnp.int32), -1))
+        m = steps.fuse_neighbors(m, cam, kf, nbrs[:5], width, height,
+                                 into=True)
+        return m, loop, nbrs, lam
+
+    def ph_triangulate(m, loop, nbrs, lam, kf):
+        """New-point triangulation against covisible neighbors (reference:
+        CreateNewMapPoints LocalMapping.cc:290-577) — the monocular map's
+        only landmark source."""
+        m = steps.triangulate_with_neighbors(m, cam, kf, nbrs[:5])
+        return m, loop, nbrs, lam
+
+    def ph_fuse_out(m, loop, nbrs, lam, kf):
+        m = steps.fuse_neighbors(m, cam, kf, nbrs[:5], width, height,
+                                 into=False)
+        return m, loop, nbrs, lam
+
+    def ph_merge(m, loop, nbrs, lam, kf):
+        m = steps.merge_duplicate_landmarks(m, kf)
+        return m, loop, nbrs, lam
+
+    def ph_refresh_cull(m, loop, nbrs, lam, kf):
+        m = steps.refresh_landmarks_for_kf(m, kf)
+        m = steps.cull_landmarks(m, kf)
+        return m, loop, nbrs, lam
+
+    def ph_ba1(m, loop, nbrs, lam, kf):
+        """Local BA chunk 1 (3 robust iterations, reference: the 5-iter
+        first stage of Optimizer.cc:689)."""
+        def run(args):
+            m, lam = args
+            return steps.local_bundle_adjustment(
+                m, cam, kf, iters_a=3, erase_outliers=False,
+                with_lambda=True, init_lambda=jnp.float32(1e-4))
+        m, lam = jax.lax.cond(jnp.any(nbrs >= 0), run,
+                              lambda a: a, (m, lam))
+        return m, loop, nbrs, lam
+
+    def ph_ba2(m, loop, nbrs, lam, kf):
+        """Local BA chunk 2 (resumed damping) + outlier erasure + keyframe
+        culling (reference: Optimizer.cc:739-807 + KeyFrameCulling
+        LocalMapping.cc:775-841)."""
+        def run(args):
+            m, lam = args
+            return steps.local_bundle_adjustment(
+                m, cam, kf, iters_a=2, erase_outliers=True,
+                with_lambda=True, init_lambda=lam)
+        m, lam = jax.lax.cond(jnp.any(nbrs >= 0), run,
+                              lambda a: a, (m, lam))
+        m = steps.cull_keyframes(m, kf, nbrs)
+        return m, loop, nbrs, lam
+
+    def ph_loop(m, loop, nbrs, lam, kf):
+        """Loop closing for the maintained keyframe (reference:
+        LocalMapping feeds LoopClosing, LocalMapping.cc:102); the BoW row
+        was stored at insertion."""
+        m, loop = auto_loop.close_loop_step(
+            loop, m, cam, kf, voc, fix_scale=cfg.sensor != "mono",
+            width=width, height=height, add_bow=False)
+        return m, loop, nbrs, lam
+
+    if cfg.sensor == "mono":
+        maint_phases = [ph_fuse_in, ph_triangulate, ph_fuse_out, ph_merge,
+                        ph_refresh_cull, ph_ba1, ph_ba2]
+    else:
+        maint_phases = [ph_fuse_in, ph_fuse_out, ph_merge,
+                        ph_refresh_cull, ph_ba1, ph_ba2]
+    if do_loops:
+        maint_phases = maint_phases + [ph_loop]
+    n_phases = len(maint_phases)
+
     def do_track(s: AutoState, feats: FeatureSet, d) -> AutoState:
         res = steps.track_frame_core(
             cam, s.map, s.prev, s.last_R, s.last_t, s.vel_R, s.vel_t,
@@ -228,75 +331,163 @@ def build_auto_step(extractor: OrbExtractor, cfg: TrackerConfig,
             need_close = (tracked_close < 100) & (non_tracked_close > 70)
             th_ref = jnp.where(s.map.n_kf < 2, 0.4, 0.75)
         c1a = frames_since >= fps
-        c1b = frames_since >= 3  # emulated mapping-thread duty cycle
+        # c1b: mapping idle (reference: Tracking.cc:1173 consults
+        # LocalMapping::AcceptKeyFrames) — with amortized maintenance the
+        # faithful signal is "no keyframe currently under maintenance"
+        c1b = s.maint_kf < 0
         c1c = (local_in < ref_matches * 0.25) | need_close
         c2 = (((local_in < ref_matches * th_ref) | need_close)
               & (local_in > 15))
+        # capacity: live keyframes below k_max (dead slots are reclaimed by
+        # the pre-insert compaction — the on-device map lifecycle)
+        live_kf = jnp.sum(res.map.kf_valid.astype(jnp.int32))
         need_kf = ((c1a | c1b | c1c) & c2
-                   & (s.map.n_kf < k_max) & ~now_lost)
+                   & (live_kf < k_max) & ~now_lost)
         if localization_only:
             need_kf = jnp.asarray(False)
+        L = res.map.lm_pw.shape[0]
+        N = d.shape[0]
 
         def insert(args):
-            m, loop, feats, dd, lm, R, t, fid = args
-            obs = steps.FrameObs(feats, dd, lm)
+            """Keyframe insertion ONLY (reference: CreateNewKeyFrame
+            Tracking.cc:1251-1336 runs on the tracking thread: pose copy +
+            close-point landmark creation). Fusion / triangulation /
+            culling / local BA / loop closing are amortized as one
+            maintenance phase per following frame. Slot recycling runs
+            here when capacity is tight (the reference's map is unbounded,
+            Map.cc:32-44; the SoA equivalent is cull-mask + compaction)."""
+            m, loop, lm = args
+
+            def compact_lm(args):
+                from ..mapstate.map import (compact_landmarks,
+                                            landmark_compaction_order)
+                m, lm = args
+                old_valid = m.lm_valid
+                order = landmark_compaction_order(old_valid)
+                inv = jnp.zeros(L, jnp.int32).at[order].set(
+                    jnp.arange(L, dtype=jnp.int32))
+                ok = (lm >= 0) & old_valid[jnp.clip(lm, 0)]
+                return (compact_landmarks(m),
+                        jnp.where(ok, inv[jnp.clip(lm, 0)], -1))
+
+            need_c_lm = m.n_lm + N > L
+            m, lm = jax.lax.cond(need_c_lm, compact_lm, lambda a: a, (m, lm))
+
+            def compact_kf(args):
+                from ..mapstate.map import compact_keyframes
+                m, loop = args
+                valid = m.kf_valid
+                order = jnp.argsort(~valid, stable=True).astype(jnp.int32)
+                live = valid.astype(jnp.int32)
+                rank = jnp.cumsum(live) - live
+                m = compact_keyframes(m)
+                if has_voc:
+                    loop = auto_loop.permute_loop_carry(
+                        loop, order, rank, valid)
+                return m, loop
+
+            need_c_kf = m.n_kf >= k_max
+            m, loop = jax.lax.cond(need_c_kf, compact_kf, lambda a: a,
+                                   (m, loop))
             kf = m.n_kf
-            if cfg.sensor == "mono":
-                m = steps.keyframe_step_mono(m, cam, obs, R, t, fid,
-                                             width, height)
-            else:
-                m = steps.keyframe_step(m, cam, obs, R, t, fid, th_depth,
-                                        width, height)
-            if do_loops:
-                # on-device loop closing for the new keyframe (reference:
-                # LocalMapping feeds LoopClosing, LocalMapping.cc:102)
-                m, loop = auto_loop.close_loop_step(
-                    loop, m, cam, kf, voc,
-                    fix_scale=cfg.sensor != "mono",
-                    width=width, height=height)
-            elif has_voc:
-                # BoW rows still maintained for relocalization
-                loop = auto_loop.add_keyframe_bow(
-                    loop, voc, kf, m.kf_desc[kf], m.kf_feat_valid[kf])
-            return m, loop, kf, m.kf_lm[kf]
+            can = kf < k_max  # still full after compaction: refuse
+
+            def do_ins(args):
+                m, loop = args
+                obs = steps.FrameObs(res.feats, res.depth, lm)
+                m = steps.insert_keyframe(m, cam, obs, res.R, res.t,
+                                          s.frame_idx)
+                if cfg.sensor != "mono":
+                    # close-point depth landmarks in the insert frame
+                    # (reference: Tracking.cc:1271-1324 — ALSO on the
+                    # tracking thread); mono landmarks come from the
+                    # triangulation phase
+                    m = steps.create_depth_landmarks(m, cam, kf, th_depth)
+                if has_voc:
+                    loop = auto_loop.add_keyframe_bow(
+                        loop, voc, kf, m.kf_desc[kf], m.kf_feat_valid[kf])
+                return m, loop
+
+            m, loop = jax.lax.cond(can, do_ins, lambda a: a, (m, loop))
+            new_kf = jnp.where(can, kf, jnp.int32(-1))
+            lm_after = jnp.where(can, m.kf_lm[jnp.clip(kf, 0, k_max - 1)],
+                                 lm)
+            return (m, loop, new_kf, lm_after,
+                    need_c_lm & can, need_c_kf & can)
 
         def no_insert(args):
-            m, loop, feats, dd, lm, R, t, fid = args
-            return m, loop, jnp.int32(-1), lm
+            m, loop, lm = args
+            return (m, loop, jnp.int32(-1), lm,
+                    jnp.asarray(False), jnp.asarray(False))
 
-        m2, loop2, new_kf, lm_after = jax.lax.cond(
-            need_kf, insert, no_insert,
-            (res.map, s.loop, res.feats, res.depth, res.lm, res.R, res.t,
-             s.frame_idx))
+        m2, loop2, new_kf, lm_after, did_c_lm, did_c_kf = jax.lax.cond(
+            need_kf, insert, no_insert, (res.map, s.loop, res.lm))
         inserted = new_kf >= 0
+
+        # --- one amortized maintenance phase (the LocalMapping thread's
+        # per-keyframe work, spread over the frames after insertion) ---
+        def run_phase(args):
+            m, loop, nbrs, lam, phase, mkf = args
+            m, loop, nbrs, lam = jax.lax.switch(
+                jnp.clip(phase, 0, n_phases - 1), maint_phases,
+                m, loop, nbrs, lam, mkf)
+            nxt = phase + 1
+            done = nxt >= n_phases
+            return (m, loop, nbrs, lam, jnp.where(done, 0, nxt),
+                    jnp.where(done, jnp.int32(-1), mkf))
+
+        def keep_phase(args):
+            return args
+
+        do_maint = (~now_lost) & (~inserted) & (s.maint_kf >= 0)
+        m3, loop3, nbrs3, lam3, phase3, mkf3 = jax.lax.cond(
+            do_maint, run_phase, keep_phase,
+            (m2, loop2, s.maint_neighbors, s.maint_lambda, s.maint_phase,
+             s.maint_kf))
+        # a fresh insert (re)starts maintenance — preempting an unfinished
+        # predecessor (reference: mbAbortBA, LocalMapping.cc:134)
+        maint_kf_n = jnp.where(inserted, new_kf, mkf3)
+        maint_phase_n = jnp.where(inserted, 0, phase3)
+        nbrs_n = jnp.where(inserted, jnp.full((10,), -1, jnp.int32), nbrs3)
+        lam_n = jnp.where(inserted, jnp.float32(1e-4), lam3)
+
         ref_kf = jnp.where(inserted, new_kf, s.ref_kf)
         last_kf_frame = jnp.where(inserted, s.frame_idx, s.last_kf_frame)
         stats8 = jnp.concatenate([
             res.stats,
             jnp.stack([inserted.astype(jnp.int32),
-                       loop2.n_loops.astype(jnp.int32)])])
+                       loop3.n_loops.astype(jnp.int32)])])
 
         def apply_ok(s):
             # res.Rcr/tcr are relative to the PRE-insert reference keyframe
             old_ref = s.ref_kf
-            # a closed loop rewrites keyframe poses; loops fire only on
-            # keyframe insertion, so the corrected current pose is the new
-            # keyframe's map row. Re-anchoring here makes the next frame's
-            # tracking chain from the corrected world (reference: Tracking
-            # resumes from the corrected map after CorrectLoop releases the
-            # map mutex, Tracking.cc:301). Velocity is reset — it related
-            # two pre-correction poses.
-            loop_fired = loop2.n_loops > s.loop.n_loops
-            safe_kf = jnp.where(inserted, new_kf, 0)
-            R_new = jnp.where(loop_fired, m2.kf_R[safe_kf], res.R)
-            t_new = jnp.where(loop_fired, m2.kf_t[safe_kf], res.t)
+            # a closed loop rewrites keyframe poses; loops fire in the
+            # loop-closing maintenance phase of keyframe maint_kf, so the
+            # current frame's pose is re-expressed through that keyframe's
+            # pre/post-correction poses: T_cur' = (T_cur o T_mkf^-1) o
+            # T_mkf' (reference: Tracking resumes from the corrected map
+            # after CorrectLoop releases the mutex, Tracking.cc:301).
+            # Velocity is reset — it related two pre-correction poses.
+            loop_fired = loop3.n_loops > s.loop.n_loops
+            anchor = jnp.clip(s.maint_kf, 0)
+            relR, relt = se3.compose(
+                res.R, res.t,
+                *se3.inverse(m2.kf_R[anchor], m2.kf_t[anchor]))
+            Rc, tc = se3.compose(relR, relt,
+                                 m3.kf_R[anchor], m3.kf_t[anchor])
+            R_new = jnp.where(loop_fired, Rc, res.R)
+            t_new = jnp.where(loop_fired, tc, res.t)
             s = s._replace(
-                map=m2, loop=loop2,
+                map=m3, loop=loop3,
                 prev=steps.FrameObs(res.feats, res.depth, lm_after),
                 last_R=R_new, last_t=t_new,
                 vel_R=res.vel_R, vel_t=res.vel_t,
                 have_vel=jnp.asarray(~loop_fired),
-                ref_kf=ref_kf, last_kf_frame=last_kf_frame)
+                ref_kf=ref_kf, last_kf_frame=last_kf_frame,
+                maint_kf=maint_kf_n, maint_phase=maint_phase_n,
+                maint_neighbors=nbrs_n, maint_lambda=lam_n,
+                n_compact_lm=s.n_compact_lm + did_c_lm.astype(jnp.int32),
+                n_compact_kf=s.n_compact_kf + did_c_kf.astype(jnp.int32))
             return write_traj(s, R_new, t_new, res.Rcr, res.tcr, old_ref,
                               jnp.asarray(True), stats8)
 
@@ -500,7 +691,10 @@ def build_auto_step(extractor: OrbExtractor, cfg: TrackerConfig,
             have_vel=jnp.asarray(False),
             ref_kf=jnp.int32(0), last_kf_frame=jnp.int32(-1),
             initialized=jnp.asarray(False), lost=jnp.int32(-1),
-            init_frame_id=jnp.int32(-1))
+            init_frame_id=jnp.int32(-1),
+            maint_kf=jnp.int32(-1), maint_phase=jnp.int32(0),
+            maint_neighbors=jnp.full((10,), -1, jnp.int32),
+            maint_lambda=jnp.float32(1e-4))
         return write_traj(s, s.last_R, s.last_t, s.last_R, s.last_t,
                           jnp.int32(0), jnp.asarray(False),
                           jnp.zeros(8, jnp.int32).at[6].set(3))  # 3 = reset

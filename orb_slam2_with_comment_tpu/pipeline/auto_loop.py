@@ -81,6 +81,27 @@ def empty_loop_carry(k_max: int, n_words: int) -> LoopCarry:
     )
 
 
+def permute_loop_carry(loop: LoopCarry, order, rank, valid) -> LoopCarry:
+    """Mirror a keyframe compaction (mapstate.compact_keyframes) in the
+    device-resident loop state: permute BoW rows, consistency groups and
+    the loop-edge matrix by the same stable live-first permutation.
+
+    ``order``: new->old slot permutation; ``rank``: old->new (count of
+    live slots strictly before); ``valid``: pre-compaction liveness."""
+    K = loop.bow.shape[0]
+    live_new = valid[order]  # whether the new slot holds a live keyframe
+    bow = jnp.where(live_new[:, None], loop.bow[order], 0.0)
+    groups = loop.prev_groups[:, order] & live_new[None, :]
+    edges = loop.loop_edges[order][:, order]
+    edges = edges & live_new[:, None] & live_new[None, :]
+    last = loop.last_loop_kf
+    last = jnp.where(
+        (last >= 0) & (last < K) & valid[jnp.clip(last, 0, K - 1)],
+        rank[jnp.clip(last, 0, K - 1)], last)
+    return loop._replace(bow=bow, prev_groups=groups, loop_edges=edges,
+                         last_loop_kf=last)
+
+
 def add_keyframe_bow(loop: LoopCarry, voc, kf, desc, valid) -> LoopCarry:
     """Compute and store the new keyframe's BoW row (reference:
     KeyFrame::ComputeBoW + KeyFrameDatabase::add)."""
@@ -392,12 +413,17 @@ def _correct(m: MapState, cam, kf, cand, R12, t12, s12, fix_scale: bool,
 
 def close_loop_step(loop: LoopCarry, m: MapState, cam, kf, voc,
                     fix_scale: bool, width: int = 640,
-                    height: int = 480) -> tuple[MapState, LoopCarry]:
+                    height: int = 480,
+                    add_bow: bool = True) -> tuple[MapState, LoopCarry]:
     """Full loop-closing pass for a freshly inserted keyframe ``kf``:
     BoW row -> detection -> consistency -> (cond) Sim3 -> (cond) correction.
     Pure; intended to run inside the keyframe branch of the autonomous
-    step. The untaken Sim3/correction branches cost nothing at runtime."""
-    loop = add_keyframe_bow(loop, voc, kf, m.kf_desc[kf], m.kf_feat_valid[kf])
+    step. The untaken Sim3/correction branches cost nothing at runtime.
+    ``add_bow=False`` when the caller stored the BoW row at insertion
+    (the amortized-maintenance path)."""
+    if add_bow:
+        loop = add_keyframe_bow(loop, voc, kf, m.kf_desc[kf],
+                                m.kf_feat_valid[kf])
     cand, loop = detect(loop, m, kf)
 
     def try_sim3(args):

@@ -230,26 +230,30 @@ def test_localization_only_mode(tmp_path):
 
 
 def test_landmark_compaction_under_pressure():
-    """With a small landmark capacity the keyframe step must hit the
-    compaction path (mapstate.compact_landmarks) and keep tracking instead
-    of silently running out of slots."""
+    """With a small landmark capacity the pre-insert lifecycle must RECYCLE
+    dead slots (mapstate.compact_landmarks runs on device, n_compact_lm
+    counts the events) and keep creating landmarks + tracking accurately —
+    not silently refuse creation at capacity (the round-2 failure mode)."""
     cfg = TrackerConfig(
         n_features=1000, min_init_features=200,
-        map_cfg=MapConfig(k_max=12, n_feat=1000, l_max=1600, d_max=8),
+        map_cfg=MapConfig(k_max=12, n_feat=1000, l_max=2500, d_max=8),
         fps=30, depth_factor=1.0 / 5000.0)
-    frames, poses = _frames(16)
+    frames, poses = _frames(40)
     tr = AutoTracker(cfg, AutoTrackerConfig(loop_closing=False))
     for img, depth in frames:
         tr.process_rgbd(img, depth)
     out = tr.finalize()
     assert out["initialized"] and out["lost_at"] == -1
     assert out["valid"].all()
-    # live landmarks fit the capacity with headroom restored by compaction
+    # compaction actually fired, and rewound n_lm below the slots-created
+    # high-water mark (proof of recycling, not refusal)
+    n_compact = int(np.asarray(tr.state.n_compact_lm))
+    assert n_compact >= 1, "landmark compaction never ran under pressure"
     n_lm = int(np.asarray(tr.state.map.n_lm))
     n_live = int(np.asarray(tr.state.map.lm_valid).sum())
-    assert n_lm <= 1600
+    assert n_lm <= 2500
     assert n_live <= n_lm
-    errs = [np.linalg.norm(out["t"][i] - poses[i][1]) for i in range(16)]
+    errs = [np.linalg.norm(out["t"][i] - poses[i][1]) for i in range(40)]
     assert np.median(errs) < 0.02
 
 
@@ -314,11 +318,13 @@ def test_lost_then_relocalizes_on_device():
     Tracking.cc:1582-1778) and resume tracking."""
     # enough frames that the map holds >5 keyframes before the kidnap:
     # with <=5 the tracker must RESET instead (reference Tracking.cc:542-551
-    # — covered by test_lost_early_resets_on_device)
-    n = 21
+    # — covered by test_lost_early_resets_on_device). Amortized maintenance
+    # paces insertions at ~1 per 7 frames (c1b = mapping idle), so >5
+    # keyframes needs ~40 build frames.
+    n = 63
     frames, poses = _frames(n)
     tr = AutoTracker(_cfg())
-    n_build = 18
+    n_build = 60
     for img, depth in frames[:n_build]:
         tr.process_rgbd(img, depth)
     img0 = np.zeros((480, 640), np.uint8)
