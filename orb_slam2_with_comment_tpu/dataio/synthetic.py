@@ -103,15 +103,24 @@ class SyntheticWorld:
                        cell=0.1))
 
     def render(self, R, t, fx=500.0, fy=500.0, cx=320.0, cy=240.0,
-               width=640, height=480, z_min=0.4):
-        """Render (image, depth) for world->camera pose (R, t)."""
+               width=640, height=480, z_min=0.4, dirs=None):
+        """Render (image, depth) for world->camera pose (R, t).
+
+        ``dirs`` [H, W, 3]: optional per-pixel camera-frame ray directions
+        replacing the pinhole grid — used to render through a DISTORTED
+        camera model (EuRoC-style fixtures: each raw pixel's ray is the
+        undistorted normalized coordinate of that pixel)."""
         R = np.asarray(R, np.float32)
         t = np.asarray(t, np.float32)
         C = -R.T @ t  # camera center in world
-        xs = (np.arange(width, dtype=np.float32) - cx) / fx
-        ys = (np.arange(height, dtype=np.float32) - cy) / fy
-        dx, dy = np.meshgrid(xs, ys)
-        d_cam = np.stack([dx, dy, np.ones_like(dx)], axis=-1)  # [H, W, 3]
+        if dirs is None:
+            xs = (np.arange(width, dtype=np.float32) - cx) / fx
+            ys = (np.arange(height, dtype=np.float32) - cy) / fy
+            dx, dy = np.meshgrid(xs, ys)
+            d_cam = np.stack([dx, dy, np.ones_like(dx)], axis=-1)  # [H,W,3]
+        else:
+            d_cam = np.asarray(dirs, np.float32)
+            height, width = d_cam.shape[:2]
         d_world = d_cam @ R  # R^T applied to each ray
         img = np.full((height, width), 25.0, np.float32)
         depth = np.zeros((height, width), np.float32)

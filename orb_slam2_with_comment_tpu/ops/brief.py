@@ -102,6 +102,46 @@ def descriptors_from_patches(patches: jax.Array, angle: jax.Array,
     return jnp.sum(words << shifts[None, None, :], axis=-1, dtype=jnp.uint32)
 
 
+def descriptors_from_patches_exact(patches: jax.Array,
+                                   angle: jax.Array) -> jax.Array:
+    """EXACT per-keypoint-rotation ORB descriptors from extracted patches.
+
+    Reference semantics (ORBextractor.cc:108-147): offsets rotated by the
+    keypoint's float angle with nearest-pixel rounding —
+      row = round(px sin + py cos), col = round(px cos - py sin).
+    The 30-bin steered bank (descriptors_from_patches) quantizes the
+    angle to 12-degree steps, which measurably costs 20-30% of correct
+    matches at mid-bin roll angles (tests/test_brief_quantization.py);
+    this variant samples each keypoint's OWN [P,P] patch at its exact
+    rotated offsets with one batched take_along_axis — no image-wide
+    gathers, no quantization.
+
+    patches: [N, P*P] float32 blurred windows (P = 2*BRIEF_RADIUS+1);
+    angle: [N] radians. Returns [N, 8] uint32.
+    """
+    n = patches.shape[0]
+    ca = jnp.cos(angle)[:, None]
+    sa = jnp.sin(angle)[:, None]
+    ax, ay = jnp.asarray(_PAT_AX), jnp.asarray(_PAT_AY)
+    bx, by = jnp.asarray(_PAT_BX), jnp.asarray(_PAT_BY)
+
+    def rot_idx(px, py):
+        r = jnp.round(px[None, :] * sa + py[None, :] * ca).astype(jnp.int32)
+        c = jnp.round(px[None, :] * ca - py[None, :] * sa).astype(jnp.int32)
+        r = jnp.clip(r + BRIEF_RADIUS, 0, _PATCH - 1)
+        c = jnp.clip(c + BRIEF_RADIUS, 0, _PATCH - 1)
+        return r * _PATCH + c  # [N, 256]
+
+    idx = jnp.concatenate([rot_idx(ax, ay), rot_idx(bx, by)], axis=1)
+    vals = jnp.take_along_axis(patches, idx, axis=1)  # [N, 512]
+    va, vb = vals[:, :256], vals[:, 256:]
+    bits = (va < vb).astype(jnp.uint32)
+    words = bits.reshape(n, 8, 32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    return jnp.sum(words << shifts[None, None, :], axis=-1,
+                   dtype=jnp.uint32)
+
+
 @jax.jit
 def descriptors(blurred: jax.Array, yx: jax.Array, angle: jax.Array) -> jax.Array:
     """Compute ORB descriptors.

@@ -345,23 +345,58 @@ def _correct(m: MapState, cam, kf, cand, R12, t12, s12, fix_scale: bool,
 
     # --- essential graph (reference: Optimizer.cc:908-1053 edge families:
     # loop edges incl. past ones + spanning-tree equivalent temporal chain
-    # + covisibility w >= 100), static all-pairs edges masked ---
+    # + covisibility w >= 100) ---
     W_cov = covisibility_matrix(m)
-    iu, ju = np.triu_indices(K, k=1)
-    e_i = jnp.asarray(iu, jnp.int32)
-    e_j = jnp.asarray(ju, jnp.int32)
-    w_e = W_cov[e_i, e_j]
-    is_loop_edge = (((e_i == jnp.minimum(kf, cand))
-                     & (e_j == jnp.maximum(kf, cand)))
-                    | loop_edges[e_i, e_j] | loop_edges[e_j, e_i])
-    # temporal chain between consecutive LIVE slots (the spanning tree's
-    # connectivity guarantee; parent = temporal predecessor in practice)
     live = m.kf_valid.astype(jnp.int32)
     rank = jnp.cumsum(live) - live
-    is_chain = (m.kf_valid[e_i] & m.kf_valid[e_j]
-                & (rank[e_j] == rank[e_i] + 1))
-    e_valid = (((w_e >= 100) | is_loop_edge | is_chain)
-               & m.kf_valid[e_i] & m.kf_valid[e_j])
+    if K <= 64:
+        # all-pairs triu, masked — cheap at this size, exhaustive
+        iu, ju = np.triu_indices(K, k=1)
+        e_i = jnp.asarray(iu, jnp.int32)
+        e_j = jnp.asarray(ju, jnp.int32)
+        w_e = W_cov[e_i, e_j]
+        is_loop_edge = (((e_i == jnp.minimum(kf, cand))
+                         & (e_j == jnp.maximum(kf, cand)))
+                        | loop_edges[e_i, e_j] | loop_edges[e_j, e_i])
+        is_chain = (m.kf_valid[e_i] & m.kf_valid[e_j]
+                    & (rank[e_j] == rank[e_i] + 1))
+        e_valid = (((w_e >= 100) | is_loop_edge | is_chain)
+                   & m.kf_valid[e_i] & m.kf_valid[e_j])
+    else:
+        # bounded top-k extraction: the all-pairs triu is O(K^2) edges
+        # (~524k at K=1024, each with two 7x7 jacfwd blocks). Per vertex:
+        # its top-8 covisibility neighbors (w>=100 gate), plus the
+        # temporal chain, plus up to 64 stored loop edges — O(K) total,
+        # the same families g2o's sparse graph holds.
+        TOPC = 8
+        LOOP_CAP = 64
+        top_w, top_j = prims.sort_top_k(W_cov, TOPC)  # per-row [K, TOPC]
+        ids = jnp.arange(K, dtype=jnp.int32)
+        ci = jnp.repeat(ids, TOPC)
+        cj = top_j.astype(jnp.int32).reshape(-1)
+        # i<j keeps each undirected pair once (both endpoints list strong
+        # mutual neighbors, so the i>j duplicates add nothing)
+        cov_ok = (top_w.reshape(-1) >= 100) & (ci < cj)
+        chain_i = ids[:-1]
+        chain_j = ids[1:]
+        chain_ok = (m.kf_valid[chain_i] & m.kf_valid[chain_j]
+                    & (rank[chain_j] == rank[chain_i] + 1))
+        # stored loop edges, bounded gather from the [K,K] bool matrix
+        flat_sel, flat_ok = prims.gather_mask_indices(
+            loop_edges.reshape(-1), LOOP_CAP)
+        li = (flat_sel // K).astype(jnp.int32)
+        lj = jnp.mod(flat_sel, K).astype(jnp.int32)
+        cur_i = jnp.minimum(kf, cand)[None]
+        cur_j = jnp.maximum(kf, cand)[None]
+        e_i = jnp.concatenate([ci, chain_i, li, cur_i])
+        e_j = jnp.concatenate([cj, chain_j, lj, cur_j])
+        e_valid = jnp.concatenate([
+            cov_ok, chain_ok, flat_ok, jnp.ones(1, bool)])
+        e_valid = (e_valid & m.kf_valid[e_i] & m.kf_valid[e_j]
+                   & (e_i != e_j))
+        is_loop_edge = jnp.concatenate([
+            jnp.zeros(ci.shape[0], bool), jnp.zeros(K - 1, bool),
+            flat_ok, jnp.ones(1, bool)])
     # measurements: pre-propagation poses everywhere EXCEPT loop edges,
     # which carry the new (corrected) constraint
     use_new = is_loop_edge[:, None, None]
@@ -375,8 +410,12 @@ def _correct(m: MapState, cam, kf, cand, R12, t12, s12, fix_scale: bool,
     prob = pose_graph.PoseGraphProblem(
         m.kf_R, m.kf_t, jnp.ones(K), e_i, e_j, mR, mt,
         jnp.ones(e_i.shape[0]), e_valid, fixed)
-    res = pose_graph.optimize_pose_graph(prob, iters=20,
-                                         fix_scale=fix_scale)
+    if K > 256:  # dense [K*7]^2 solve is a memory wall beyond ~256
+        res = pose_graph.optimize_pose_graph_cg(prob, iters=20,
+                                                fix_scale=fix_scale)
+    else:
+        res = pose_graph.optimize_pose_graph(prob, iters=20,
+                                             fix_scale=fix_scale)
     ref_kf_ = jnp.clip(m.lm_ref_kf, 0, K - 1)
     R_old, t_old = m.kf_R[ref_kf_], m.kf_t[ref_kf_]
     R_new = res.R[ref_kf_]

@@ -344,8 +344,16 @@ class LoopCloser:
         prob = pose_graph.PoseGraphProblem(
             m.kf_R[:Np], m.kf_t[:Np], jnp.ones(Np), e_i, e_j, mR, mt, ms,
             jnp.ones(len(pairs), bool), jnp.asarray(fixed))
-        res = pose_graph.optimize_pose_graph(
-            prob, iters=20, fix_scale=self.fix_scale)
+        # dense [N*7, N*7] Cholesky below ~256 vertices (all-matmul, no
+        # scatters); matrix-free block-Jacobi CG beyond (the dense H is
+        # ~441 MB at K=1500 — reference: g2o's solve is sparse,
+        # Optimizer.cc:829-1118)
+        if Np > 256:
+            res = pose_graph.optimize_pose_graph_cg(
+                prob, iters=20, fix_scale=self.fix_scale)
+        else:
+            res = pose_graph.optimize_pose_graph(
+                prob, iters=20, fix_scale=self.fix_scale)
         res_R = m.kf_R.at[:Np].set(res.R)
         res_t_s = res.t / jnp.clip(res.s, 1e-9, None)[:, None]
         # re-map landmarks through their reference keyframe's correction

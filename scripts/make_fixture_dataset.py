@@ -99,11 +99,14 @@ ORBextractor.minThFAST: 7
 """
 
 
-def make_tum_rgbd(out_dir, n_frames=120, seed=1, fps=30.0):
+def make_tum_rgbd(out_dir, n_frames=120, seed=1, fps=30.0, laps=1):
+    """laps > 1 repeats the orbit so the sequence REVISITS its start —
+    the dataset-path trajectory that exercises loop closure."""
     from orb_slam2_with_comment_tpu.dataio.synthetic import (
         SyntheticWorld, orbit_trajectory)
     world = SyntheticWorld(seed=seed)
-    poses = orbit_trajectory(n_frames=n_frames)
+    poses = orbit_trajectory(n_frames=max(n_frames // laps, 2)) * laps
+    poses = poses[:n_frames]
     os.makedirs(os.path.join(out_dir, "rgb"), exist_ok=True)
     os.makedirs(os.path.join(out_dir, "depth"), exist_ok=True)
     rgb_lines, dep_lines, gt_lines = [], [], []
@@ -162,6 +165,135 @@ def make_kitti_stereo(out_dir, n_frames=100, seed=2, fps=10.0,
     return out_dir
 
 
+SETTINGS_EUROC = """%YAML:1.0
+Camera.fx: 500.0
+Camera.fy: 500.0
+Camera.cx: 320.0
+Camera.cy: 240.0
+Camera.k1: 0.0
+Camera.k2: 0.0
+Camera.p1: 0.0
+Camera.p2: 0.0
+Camera.width: 640
+Camera.height: 480
+Camera.fps: 20.0
+Camera.bf: 40.0
+Camera.RGB: 1
+ThDepth: 35.0
+ORBextractor.nFeatures: 1000
+ORBextractor.scaleFactor: 1.2
+ORBextractor.nLevels: 8
+ORBextractor.iniThFAST: 20
+ORBextractor.minThFAST: 7
+LEFT.width: 640
+LEFT.height: 480
+LEFT.K: !!opencv-matrix
+   rows: 3
+   cols: 3
+   dt: d
+   data: [500.0, 0.0, 320.0, 0.0, 500.0, 240.0, 0.0, 0.0, 1.0]
+LEFT.D: !!opencv-matrix
+   rows: 1
+   cols: 5
+   dt: d
+   data: [-0.20, 0.05, 0.0, 0.0, 0.0]
+LEFT.R: !!opencv-matrix
+   rows: 3
+   cols: 3
+   dt: d
+   data: [1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 1.0]
+LEFT.P: !!opencv-matrix
+   rows: 3
+   cols: 4
+   dt: d
+   data: [500.0, 0.0, 320.0, 0.0, 0.0, 500.0, 240.0, 0.0, 0.0, 0.0, 1.0, 0.0]
+RIGHT.width: 640
+RIGHT.height: 480
+RIGHT.K: !!opencv-matrix
+   rows: 3
+   cols: 3
+   dt: d
+   data: [500.0, 0.0, 320.0, 0.0, 500.0, 240.0, 0.0, 0.0, 1.0]
+RIGHT.D: !!opencv-matrix
+   rows: 1
+   cols: 5
+   dt: d
+   data: [-0.20, 0.05, 0.0, 0.0, 0.0]
+RIGHT.R: !!opencv-matrix
+   rows: 3
+   cols: 3
+   dt: d
+   data: [1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 1.0]
+RIGHT.P: !!opencv-matrix
+   rows: 3
+   cols: 4
+   dt: d
+   data: [500.0, 0.0, 320.0, 0.0, 0.0, 500.0, 240.0, 0.0, 0.0, 0.0, 1.0, 0.0]
+"""
+
+
+def _undistorted_dirs(width, height, fx, fy, cx, cy, D):
+    """Per-RAW-pixel camera-frame ray directions for a radtan camera:
+    invert the distortion by fixed-point iteration (the cv::undistortPoints
+    scheme) so that distort(dirs.xy) lands back on the pixel grid."""
+    k1, k2, p1, p2, k3 = [float(v) for v in D]
+    u, v = np.meshgrid(np.arange(width, dtype=np.float64),
+                       np.arange(height, dtype=np.float64))
+    xd = (u - cx) / fx
+    yd = (v - cy) / fy
+    x, y = xd.copy(), yd.copy()
+    for _ in range(8):
+        r2 = x * x + y * y
+        radial = 1 + k1 * r2 + k2 * r2 * r2 + k3 * r2 ** 3
+        dx = 2 * p1 * x * y + p2 * (r2 + 2 * x * x)
+        dy = p1 * (r2 + 2 * y * y) + 2 * p2 * x * y
+        x = (xd - dx) / radial
+        y = (yd - dy) / radial
+    return np.stack([x, y, np.ones_like(x)], axis=-1).astype(np.float32)
+
+
+def make_euroc_stereo(out_dir, n_frames=100, seed=3, fps=20.0,
+                      baseline=0.08):
+    """EuRoC on-disk layout (mav0/cam0/data/<ns>.png + cam1 + timestamp
+    file) with RAW DISTORTED images (radtan k1=-0.2, k2=0.05): the driver
+    must rectify online through the YAML LEFT./RIGHT. blocks exactly like
+    the reference (stereo_euroc.cc:97-137). Ground truth is written
+    TUM-style for the eval harness."""
+    from orb_slam2_with_comment_tpu.dataio.synthetic import (
+        SyntheticWorld, orbit_trajectory)
+    world = SyntheticWorld(seed=seed)
+    poses = orbit_trajectory(n_frames=n_frames)
+    cam0 = os.path.join(out_dir, "mav0", "cam0", "data")
+    cam1 = os.path.join(out_dir, "mav0", "cam1", "data")
+    os.makedirs(cam0, exist_ok=True)
+    os.makedirs(cam1, exist_ok=True)
+    D = [-0.20, 0.05, 0.0, 0.0, 0.0]
+    dirs = _undistorted_dirs(640, 480, 500.0, 500.0, 320.0, 240.0, D)
+    off = np.array([baseline, 0, 0], np.float32)
+    stamps, gt_lines = [], []
+    for k, (R, t) in enumerate(poses):
+        ns = int(round((k / fps) * 1e9))
+        name = f"{ns}"
+        left, _ = world.render(R, t, dirs=dirs)
+        right, _ = world.render(np.asarray(R), np.asarray(t) - off,
+                                dirs=dirs)
+        _save_png8(os.path.join(cam0, name + ".png"), left)
+        _save_png8(os.path.join(cam1, name + ".png"), right)
+        stamps.append(name)
+        Rwc = np.asarray(R).T
+        twc = -Rwc @ np.asarray(t)
+        q = _quat_wxyz(Rwc)
+        gt_lines.append(
+            f"{ns / 1e9:.6f} {twc[0]:.7f} {twc[1]:.7f} {twc[2]:.7f} "
+            f"{q[1]:.7f} {q[2]:.7f} {q[3]:.7f} {q[0]:.7f}")
+    open(os.path.join(out_dir, "timestamps.txt"), "w").write(
+        "\n".join(stamps) + "\n")
+    open(os.path.join(out_dir, "groundtruth_tum.txt"), "w").write(
+        "# ts tx ty tz qx qy qz qw\n" + "\n".join(gt_lines) + "\n")
+    open(os.path.join(out_dir, "settings.yaml"), "w").write(SETTINGS_EUROC)
+    return out_dir
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("out_root")
@@ -169,10 +301,16 @@ def main():
     args = ap.parse_args()
     tum = make_tum_rgbd(os.path.join(args.out_root, "tum_fixture"),
                         n_frames=args.frames)
+    loop = make_tum_rgbd(os.path.join(args.out_root, "tum_loop_fixture"),
+                         n_frames=args.frames, laps=2)
     kitti = make_kitti_stereo(os.path.join(args.out_root, "kitti_fixture"),
                               n_frames=max(args.frames * 5 // 6, 20))
+    euroc = make_euroc_stereo(os.path.join(args.out_root, "euroc_fixture"),
+                              n_frames=max(args.frames * 2 // 3, 20))
     print("wrote", tum)
+    print("wrote", loop)
     print("wrote", kitti)
+    print("wrote", euroc)
 
 
 if __name__ == "__main__":

@@ -124,3 +124,31 @@ def test_no_spurious_loops_without_revisit():
             jnp.float32(cfg.depth_threshold), cfg.width, cfg.height)
         m, loop = step(loop, m, jnp.int32(k))
     assert int(loop.n_loops) == 0
+
+
+def test_dataset_scale_paths_trace():
+    """The bounded top-E edge extraction (k_max > 64) and the CG
+    essential-graph solve (k_max > 256) must trace with consistent shapes
+    — these are the dataset-scale paths no small-map test compiles.
+    jax.eval_shape traces abstractly (no compilation), so this stays
+    cheap while catching shape/type breakage."""
+    import jax
+    from orb_slam2_with_comment_tpu.pipeline import TrackerConfig
+    for k_max in (96, 300):
+        cfg = TrackerConfig(
+            n_features=200, min_init_features=50,
+            map_cfg=MapConfig(k_max=k_max, n_feat=200, l_max=3000, d_max=6),
+            fps=30, depth_factor=1.0)
+        voc = load_default_vocabulary(as_numpy=True)
+        m = empty_map(cfg.map_cfg)
+        loop = auto_loop.empty_loop_carry(k_max, voc.n_words)
+        cam = cfg.cam
+
+        def step(lp, mm, kk):
+            return auto_loop.close_loop_step(
+                lp, mm, cam, kk, voc, fix_scale=True,
+                width=cfg.width, height=cfg.height)
+
+        out_m, out_loop = jax.eval_shape(step, loop, m, jnp.int32(3))
+        assert out_m.kf_R.shape == (k_max, 3, 3)
+        assert out_loop.bow.shape[0] == k_max

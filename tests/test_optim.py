@@ -223,6 +223,47 @@ class TestPoseGraph:
         np.testing.assert_allclose(np.asarray(res.s), s, atol=1e-6)
         np.testing.assert_allclose(np.asarray(res.t)[:, 0], t[:, 0], atol=1e-2)
 
+    def test_cg_matches_dense(self):
+        """The matrix-free CG essential-graph solver (dataset-scale path)
+        must reach the same optimum as the dense Cholesky solver on a
+        loop-distribution problem."""
+        N = 40
+        R_gt = np.zeros((N, 3, 3), np.float32)
+        t_gt = np.zeros((N, 3), np.float32)
+        for k in range(N):
+            xi = np.array([0.2 * k, 0, 0, 0, 0.05 * k, 0], np.float32)
+            R, t = se3.exp_se3(jnp.asarray(xi))
+            R_gt[k], t_gt[k] = np.asarray(R), np.asarray(t)
+        drift = np.cumsum(rng.randn(N, 3).astype(np.float32) * 0.02, axis=0)
+        drift -= drift[0]
+        t_est = t_gt + drift
+        e_i = np.concatenate([np.arange(N - 1), [N - 1]]).astype(np.int32)
+        e_j = np.concatenate([np.arange(1, N), [0]]).astype(np.int32)
+        mR, mt, ms = [], [], []
+        for i, j in zip(e_i, e_j):
+            Rm, tm, sm = sim3.compose(
+                jnp.asarray(R_gt[j]), jnp.asarray(t_gt[j]), jnp.float32(1.0),
+                *sim3.inverse(jnp.asarray(R_gt[i]), jnp.asarray(t_gt[i]),
+                              jnp.float32(1.0)))
+            mR.append(np.asarray(Rm))
+            mt.append(np.asarray(tm))
+            ms.append(float(sm))
+        fixed = np.zeros(N, bool)
+        fixed[0] = True
+        prob = pose_graph.PoseGraphProblem(
+            jnp.asarray(R_gt), jnp.asarray(t_est),
+            jnp.ones(N, jnp.float32),
+            jnp.asarray(e_i), jnp.asarray(e_j),
+            jnp.asarray(np.stack(mR)), jnp.asarray(np.stack(mt)),
+            jnp.asarray(np.array(ms, np.float32)),
+            jnp.ones(len(e_i), jnp.bool_), jnp.asarray(fixed))
+        dense = pose_graph.optimize_pose_graph(prob, iters=20)
+        cg = pose_graph.optimize_pose_graph_cg(prob, iters=20)
+        assert float(cg.chi2) < 1e-4, float(cg.chi2)
+        np.testing.assert_allclose(np.asarray(cg.t), np.asarray(dense.t),
+                                   atol=2e-3)
+        np.testing.assert_allclose(np.asarray(cg.t), t_gt, atol=1e-2)
+
 
 class TestSim3Opt:
     def test_recover_sim3(self):
