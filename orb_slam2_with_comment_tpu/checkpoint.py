@@ -26,7 +26,9 @@ def save_map(path: str, m: MapState) -> None:
 
 def load_map(path: str) -> MapState:
     data = np.load(path if str(path).endswith(".npz") else path + ".npz")
-    fields = {f: jnp.asarray(data[f]) for f in MapState._fields}
+    fields = {f: (jnp.asarray(data[f]) if f in data.files
+                  else jnp.int32(0))  # counters added after a save
+              for f in MapState._fields}
     return MapState(**fields)
 
 

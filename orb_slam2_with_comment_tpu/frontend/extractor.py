@@ -97,12 +97,15 @@ class OrbExtractor:
 
     def _extract_stereo(self, img_l, img_r, bf, fx):
         from . import stereo as _stereo
-        feats_l = self._extract(img_l)
-        feats_r = self._extract(img_r)
+        # ONE pyramid per view, shared between extraction and the SAD
+        # subpixel refinement (building them twice doubled the pyramid
+        # cost of the stereo front end)
         pyr_l = image.build_pyramid(
             img_l.astype(jnp.float32), self.n_levels, self.scale_factor)
         pyr_r = image.build_pyramid(
             img_r.astype(jnp.float32), self.n_levels, self.scale_factor)
+        feats_l = self._extract_from_pyramid(pyr_l)
+        feats_r = self._extract_from_pyramid(pyr_r)
         sd = _stereo.match_stereo(
             feats_l, feats_r, pyr_l, pyr_r, self.budgets, bf, fx)
         return feats_l, sd
@@ -110,6 +113,9 @@ class OrbExtractor:
     def _extract(self, img: jax.Array) -> FrameFeatures:
         img = img.astype(jnp.float32)
         pyr = image.build_pyramid(img, self.n_levels, self.scale_factor)
+        return self._extract_from_pyramid(pyr)
+
+    def _extract_from_pyramid(self, pyr) -> FrameFeatures:
         kmat = orientation.moment_kernel_matrix()
         parts = []
         for lvl, (lvl_img, budget) in enumerate(zip(pyr, self.budgets)):

@@ -67,6 +67,10 @@ class MapState(NamedTuple):
     # --- counters ---
     n_kf: jax.Array  # [] int32 next free keyframe slot
     n_lm: jax.Array  # [] int32 next free landmark slot
+    # observations silently dropped because a landmark's D slots were full
+    # (the reference's observation map is unbounded, MapPoint.cc:98-109;
+    # this counter measures what the fixed-D SoA design loses)
+    n_obs_drop: jax.Array  # [] int32
 
     @property
     def config(self) -> MapConfig:
@@ -106,25 +110,38 @@ def empty_map(cfg: MapConfig) -> MapState:
         lm_obs_feat=jnp.zeros((L, D), i32),
         n_kf=jnp.int32(0),
         n_lm=jnp.int32(0),
+        n_obs_drop=jnp.int32(0),
     )
 
 
 def covisibility_weights(m: MapState, kf_idx) -> jax.Array:
     """Covisibility row of one keyframe: for every other keyframe, the count
-    of shared landmarks (reference: KeyFrame::UpdateConnections,
-    KeyFrame.cc:295-393 — recomputed here from the observation table).
+    of shared landmarks. Exactly the reference's UpdateConnections
+    iteration (KeyFrame.cc:295-393): walk the keyframe's OWN feature ->
+    landmark list and accumulate those landmarks' observation rows — cost
+    O(N*D) per row, independent of BOTH the landmark capacity L and the
+    keyframe capacity K (the previous formulation scanned the whole [L, D]
+    observation table per call; ADVICE r2 #4 / VERDICT r3 #7).
 
-    One [L, D] compare + one scatter-add into [K] — cost is O(map
-    observations), independent of keyframe capacity (the earlier one-hot
-    matmul formulation materialized an [L, D, K] mask, which is fine at
-    K=64 but 2.4 G elements at dataset-scale K≈1500).
+    Each (keyframe, landmark) pair counts once: a feature contributes only
+    if it is the REGISTERED observation of its landmark (the slot in
+    lm_obs_feat that points back at it) — duplicates from stale forward
+    references and slot-dropped observations are excluded.
 
     Returns [K] int32 weights (self entry zeroed).
     """
     K = m.kf_R.shape[0]
-    seen = jnp.any(m.lm_obs_kf == kf_idx, axis=1) & m.lm_valid  # [L]
-    contrib = (seen[:, None] & (m.lm_obs_kf >= 0)).astype(jnp.int32)
-    w = jnp.zeros(K, jnp.int32).at[jnp.clip(m.lm_obs_kf, 0)].add(contrib)
+    N = m.kf_lm.shape[1]
+    lms = m.kf_lm[kf_idx]  # [N]
+    safe = jnp.clip(lms, 0)
+    ok = (lms >= 0) & m.kf_feat_valid[kf_idx] & m.lm_valid[safe]
+    rows = m.lm_obs_kf[safe]  # [N, D]
+    feat = m.lm_obs_feat[safe]  # [N, D]
+    primary = jnp.any(
+        (rows == kf_idx) & (feat == jnp.arange(N, dtype=jnp.int32)[:, None]),
+        axis=1)
+    contrib = ((ok & primary)[:, None] & (rows >= 0)).astype(jnp.int32)
+    w = jnp.zeros(K, jnp.int32).at[jnp.clip(rows, 0)].add(contrib)
     w = jnp.where(jnp.arange(K) == kf_idx, 0, w)
     return w * m.kf_valid.astype(jnp.int32)
 
@@ -144,34 +161,29 @@ def observation_matrix(m: MapState) -> jax.Array:
 
 @jax.jit
 def covisibility_matrix(m: MapState) -> jax.Array:
-    """[K, K] covisibility weights (shared valid landmarks), accumulated
-    as chunked O^T O matmuls (reference: KeyFrame::UpdateConnections
-    weight counting). Chunking over landmarks keeps the incidence slab at
-    [C, K] (≈25 MB at K=1536) instead of [L, K] (≈800 MB), while the
-    contraction itself stays on the MXU."""
+    """[K, K] covisibility weights (shared valid landmarks), built by the
+    reference's own iteration shape (KeyFrame::UpdateConnections,
+    KeyFrame.cc:295-393): every keyframe's feature -> landmark list
+    gathers its landmarks' observation rows and scatter-counts observers.
+    Cost O(K*N*D), INDEPENDENT of landmark capacity L (the previous
+    chunked O^T-O formulation was O(L*K) work + an [L] scatter per call —
+    dominant in per-keyframe loop detection at dataset scale, ADVICE r2
+    #4 / VERDICT r3 #7). Per-pair dedup as in covisibility_weights: only
+    a landmark's registered (back-referenced) feature contributes."""
     K = m.kf_R.shape[0]
-    L, D = m.lm_obs_kf.shape
-    C = min(L, 8192)
-    n_chunks = -(-L // C)
-    pad = n_chunks * C - L
-    obs_kf = jnp.pad(m.lm_obs_kf, ((0, pad), (0, 0)), constant_values=-1)
-    lm_valid = jnp.pad(m.lm_valid, (0, pad))
-    obs_kf = obs_kf.reshape(n_chunks, C, D)
-    lm_valid = lm_valid.reshape(n_chunks, C)
-
-    def body(Wacc, chunk):
-        okf, lv = chunk
-        rows = jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32)[:, None],
-                                (C, D))
-        vals = ((okf >= 0) & lv[:, None]).astype(jnp.float32)
-        O = jnp.zeros((C, K), jnp.float32).at[
-            rows, jnp.clip(okf, 0)].max(vals)
-        return Wacc + jnp.matmul(O.T, O,
-                                 precision=jax.lax.Precision.HIGHEST), None
-
-    W, _ = jax.lax.scan(body, jnp.zeros((K, K), jnp.float32),
-                        (obs_kf, lm_valid))
-    W = W.astype(jnp.int32)
+    N = m.kf_lm.shape[1]
+    lms = m.kf_lm  # [K, N]
+    safe = jnp.clip(lms, 0)
+    ok = (lms >= 0) & m.kf_feat_valid & m.lm_valid[safe]  # [K, N]
+    rows = m.lm_obs_kf[safe]  # [K, N, D]
+    feat = m.lm_obs_feat[safe]  # [K, N, D]
+    kf_ids = jnp.arange(K, dtype=jnp.int32)
+    primary = jnp.any(
+        (rows == kf_ids[:, None, None])
+        & (feat == jnp.arange(N, dtype=jnp.int32)[None, :, None]), axis=2)
+    contrib = ((ok & primary)[:, :, None] & (rows >= 0)).astype(jnp.int32)
+    src = jnp.broadcast_to(kf_ids[:, None, None], (K, N, rows.shape[2]))
+    W = jnp.zeros((K, K), jnp.int32).at[src, jnp.clip(rows, 0)].add(contrib)
     W = W * (1 - jnp.eye(K, dtype=jnp.int32))
     kv = m.kf_valid.astype(jnp.int32)
     return W * kv[:, None] * kv[None, :]
@@ -208,7 +220,9 @@ def add_observation(m: MapState, lm_idx, kf_idx, feat_idx, mask):
     safe_ft = jnp.where(mask, feat_idx, 0)
     kf_lm = m.kf_lm.at[safe_kf, safe_ft].set(
         jnp.where(mask, lm_idx, m.kf_lm[safe_kf, safe_ft]))
-    return m._replace(lm_obs_kf=obs_kf, lm_obs_feat=obs_feat, kf_lm=kf_lm)
+    n_drop = m.n_obs_drop + jnp.sum((mask & ~ok).astype(jnp.int32))
+    return m._replace(lm_obs_kf=obs_kf, lm_obs_feat=obs_feat, kf_lm=kf_lm,
+                      n_obs_drop=n_drop)
 
 
 def rebuild_observations(m: MapState) -> MapState:
@@ -250,7 +264,10 @@ def rebuild_observations(m: MapState) -> MapState:
         jnp.where(ok, sft, 0), mode="drop")
     # note: masked writes above may leave stale -1/-0 patterns where ok is
     # False but target collides; re-assert validity of slot contents
-    return m._replace(kf_lm=kf_lm, lm_obs_kf=obs_kf, lm_obs_feat=obs_feat)
+    n_drop = m.n_obs_drop + jnp.sum(
+        ((slm < L) & ~same_kf_as_prev & (rank >= D)).astype(jnp.int32))
+    return m._replace(kf_lm=kf_lm, lm_obs_kf=obs_kf, lm_obs_feat=obs_feat,
+                      n_obs_drop=n_drop)
 
 
 def merge_landmarks(m: MapState, keep: jax.Array, kill: jax.Array,
@@ -362,7 +379,7 @@ def grow_map(m: MapState, k_max: int | None = None,
     for name in MapState._fields:
         a = getattr(m, name)
         fa = getattr(fresh, name)
-        if name in ("n_kf", "n_lm"):
+        if name in ("n_kf", "n_lm", "n_obs_drop"):
             out[name] = a
         else:
             out[name] = jax.lax.dynamic_update_slice(fa, a, (0,) * a.ndim)

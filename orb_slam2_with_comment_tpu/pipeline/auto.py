@@ -126,13 +126,13 @@ def _empty_prev(N: int) -> steps.FrameObs:
 
 
 def empty_auto_state(cfg: TrackerConfig, traj_capacity: int,
-                     n_words: int) -> AutoState:
+                     bow_cap: int) -> AutoState:
     N = cfg.n_features
     T = traj_capacity
     f32, i32 = jnp.float32, jnp.int32
     prev = _empty_prev(N)
     return AutoState(
-        loop=auto_loop.empty_loop_carry(cfg.map_cfg.k_max, n_words),
+        loop=auto_loop.empty_loop_carry(cfg.map_cfg.k_max, bow_cap),
         map=empty_map(cfg.map_cfg),
         prev=prev,
         last_R=jnp.eye(3, dtype=f32), last_t=jnp.zeros(3, f32),
@@ -375,7 +375,7 @@ def build_auto_step(extractor: OrbExtractor, cfg: TrackerConfig,
 
             def compact_kf(args):
                 from ..mapstate.map import compact_keyframes
-                m, loop = args
+                m, loop, _ = args
                 valid = m.kf_valid
                 order = jnp.argsort(~valid, stable=True).astype(jnp.int32)
                 live = valid.astype(jnp.int32)
@@ -384,11 +384,17 @@ def build_auto_step(extractor: OrbExtractor, cfg: TrackerConfig,
                 if has_voc:
                     loop = auto_loop.permute_loop_carry(
                         loop, order, rank, valid)
-                return m, loop
+                # old->new slot map for every external holder of keyframe
+                # slot ids (trajectory ref rows, ref_kf, maint_kf);
+                # culled slots go to -1
+                remap = jnp.where(valid, rank, jnp.int32(-1))
+                return m, loop, remap
 
             need_c_kf = m.n_kf >= k_max
-            m, loop = jax.lax.cond(need_c_kf, compact_kf, lambda a: a,
-                                   (m, loop))
+            kf_identity = jnp.arange(k_max, dtype=jnp.int32)
+            m, loop, kf_remap = jax.lax.cond(
+                need_c_kf, compact_kf, lambda a: a,
+                (m, loop, kf_identity))
             kf = m.n_kf
             can = kf < k_max  # still full after compaction: refuse
 
@@ -413,16 +419,30 @@ def build_auto_step(extractor: OrbExtractor, cfg: TrackerConfig,
             lm_after = jnp.where(can, m.kf_lm[jnp.clip(kf, 0, k_max - 1)],
                                  lm)
             return (m, loop, new_kf, lm_after,
-                    need_c_lm & can, need_c_kf & can)
+                    need_c_lm & can, need_c_kf & can, kf_remap)
 
         def no_insert(args):
             m, loop, lm = args
             return (m, loop, jnp.int32(-1), lm,
-                    jnp.asarray(False), jnp.asarray(False))
+                    jnp.asarray(False), jnp.asarray(False),
+                    jnp.arange(k_max, dtype=jnp.int32))
 
-        m2, loop2, new_kf, lm_after, did_c_lm, did_c_kf = jax.lax.cond(
+        (m2, loop2, new_kf, lm_after, did_c_lm, did_c_kf,
+         kf_remap) = jax.lax.cond(
             need_kf, insert, no_insert, (res.map, s.loop, res.lm))
         inserted = new_kf >= 0
+        # keyframe compaction renumbers slots: re-point every slot-id the
+        # state holds outside the map (ADVICE r3: trajectory ref rows kept
+        # pre-compaction ids, so Rcr/tcr + ref_kf recomposition was wrong
+        # after a compaction). -1 entries (culled) fall back to slot 0.
+        def _remap_slot(x):
+            r = kf_remap[jnp.clip(x, 0, k_max - 1)]
+            return jnp.where(x >= 0, jnp.maximum(r, 0), x)
+        ref_kf_r = _remap_slot(s.ref_kf)
+        maint_kf_r = jnp.where(
+            s.maint_kf >= 0,
+            kf_remap[jnp.clip(s.maint_kf, 0, k_max - 1)], s.maint_kf)
+        traj_ref_r = _remap_slot(s.traj_ref)
 
         # --- one amortized maintenance phase (the LocalMapping thread's
         # per-keyframe work, spread over the frames after insertion) ---
@@ -439,11 +459,15 @@ def build_auto_step(extractor: OrbExtractor, cfg: TrackerConfig,
         def keep_phase(args):
             return args
 
-        do_maint = (~now_lost) & (~inserted) & (s.maint_kf >= 0)
+        nbrs_r = jnp.where(
+            s.maint_neighbors >= 0,
+            kf_remap[jnp.clip(s.maint_neighbors, 0, k_max - 1)],
+            s.maint_neighbors)
+        do_maint = (~now_lost) & (~inserted) & (maint_kf_r >= 0)
         m3, loop3, nbrs3, lam3, phase3, mkf3 = jax.lax.cond(
             do_maint, run_phase, keep_phase,
-            (m2, loop2, s.maint_neighbors, s.maint_lambda, s.maint_phase,
-             s.maint_kf))
+            (m2, loop2, nbrs_r, s.maint_lambda, s.maint_phase,
+             maint_kf_r))
         # a fresh insert (re)starts maintenance — preempting an unfinished
         # predecessor (reference: mbAbortBA, LocalMapping.cc:134)
         maint_kf_n = jnp.where(inserted, new_kf, mkf3)
@@ -451,7 +475,7 @@ def build_auto_step(extractor: OrbExtractor, cfg: TrackerConfig,
         nbrs_n = jnp.where(inserted, jnp.full((10,), -1, jnp.int32), nbrs3)
         lam_n = jnp.where(inserted, jnp.float32(1e-4), lam3)
 
-        ref_kf = jnp.where(inserted, new_kf, s.ref_kf)
+        ref_kf = jnp.where(inserted, new_kf, ref_kf_r)
         last_kf_frame = jnp.where(inserted, s.frame_idx, s.last_kf_frame)
         stats8 = jnp.concatenate([
             res.stats,
@@ -460,7 +484,9 @@ def build_auto_step(extractor: OrbExtractor, cfg: TrackerConfig,
 
         def apply_ok(s):
             # res.Rcr/tcr are relative to the PRE-insert reference keyframe
-            old_ref = s.ref_kf
+            # (remapped to its post-compaction slot: the relative pose is
+            # unchanged, only the slot id moved)
+            old_ref = ref_kf_r
             # a closed loop rewrites keyframe poses; loops fire in the
             # loop-closing maintenance phase of keyframe maint_kf, so the
             # current frame's pose is re-expressed through that keyframe's
@@ -469,7 +495,7 @@ def build_auto_step(extractor: OrbExtractor, cfg: TrackerConfig,
             # after CorrectLoop releases the mutex, Tracking.cc:301).
             # Velocity is reset — it related two pre-correction poses.
             loop_fired = loop3.n_loops > s.loop.n_loops
-            anchor = jnp.clip(s.maint_kf, 0)
+            anchor = jnp.clip(maint_kf_r, 0)
             relR, relt = se3.compose(
                 res.R, res.t,
                 *se3.inverse(m2.kf_R[anchor], m2.kf_t[anchor]))
@@ -478,7 +504,7 @@ def build_auto_step(extractor: OrbExtractor, cfg: TrackerConfig,
             R_new = jnp.where(loop_fired, Rc, res.R)
             t_new = jnp.where(loop_fired, tc, res.t)
             s = s._replace(
-                map=m3, loop=loop3,
+                map=m3, loop=loop3, traj_ref=traj_ref_r,
                 prev=steps.FrameObs(res.feats, res.depth, lm_after),
                 last_R=R_new, last_t=t_new,
                 vel_R=res.vel_R, vel_t=res.vel_t,
@@ -611,8 +637,10 @@ def build_auto_step(extractor: OrbExtractor, cfg: TrackerConfig,
         m = s.map
         K = m.kf_R.shape[0]
         words = V.transform(voc, feats.desc, feats.valid)
-        vec = V.bow_vectors(voc, words, feats.valid)
-        scr = V.score_l1(vec, s.loop.bow)
+        q_idx, q_w = V.bow_sparse(voc, words, feats.valid,
+                                  s.loop.bow_idx.shape[1])
+        scr = V.score_l1_sparse(q_idx, q_w, s.loop.bow_idx, s.loop.bow_w,
+                                int(voc.n_words))
         ids = jnp.arange(K, dtype=jnp.int32)
         live = m.kf_valid & (ids < m.n_kf)
         scr = jnp.where(live, scr, -1.0)
@@ -680,11 +708,11 @@ def build_auto_step(extractor: OrbExtractor, cfg: TrackerConfig,
         system; the map was never good). Trajectory rings are kept —
         their rows are already marked invalid — and re-initialization
         starts on the next frame."""
-        k_max_, n_words_ = s.loop.bow.shape
+        k_max_, bow_cap_ = s.loop.bow_idx.shape
         s = s._replace(
             map=empty_map(cfg.map_cfg),
             loop=auto_loop.empty_loop_carry(
-                k_max_, n_words_)._replace(key=s.loop.key),
+                k_max_, bow_cap_)._replace(key=s.loop.key),
             prev=_empty_prev(cfg.n_features),
             last_R=jnp.eye(3, dtype=jnp.float32),
             last_t=jnp.zeros(3, jnp.float32),
@@ -853,9 +881,9 @@ class AutoTracker:
         # across same-config trackers via the per-process cache
         self.extractor, voc, self._step = _cached_step(cfg, self.auto_cfg)
         self.voc = voc
+        # sparse BoW row capacity: lossless at n_features distinct words
         self.state = empty_auto_state(
-            cfg, self.auto_cfg.traj_capacity,
-            voc.n_words if voc is not None else 1)
+            cfg, self.auto_cfg.traj_capacity, cfg.n_features)
         self.frame_count = 0
         self.timestamps: list[float] = []
         self._batch_buf: list = []
@@ -922,9 +950,9 @@ class AutoTracker:
         host = jax.device_get(
             (s.traj_R, s.traj_t, s.traj_Rcr, s.traj_tcr, s.traj_ref,
              s.traj_valid, s.traj_stats, s.lost, s.initialized, s.map.n_kf,
-             s.loop.n_loops))
+             s.loop.n_loops, s.map.n_obs_drop))
         (R, t, Rcr, tcr, ref, valid, stats, lost, initialized, n_kf,
-         n_loops) = host
+         n_loops, n_obs_drop) = host
         if n <= T:
             order = np.arange(n)
         else:  # ring wrapped: oldest surviving frame first
@@ -938,6 +966,9 @@ class AutoTracker:
             "lost_at": int(lost), "initialized": bool(initialized),
             "n_keyframes": int(n_kf), "n_frames": n,
             "n_loops_closed": int(n_loops),
+            # observation-slot saturation (reference MapPoint.cc:98-109 is
+            # unbounded; this counts what fixed D slots dropped)
+            "n_obs_dropped": int(n_obs_drop),
         }
 
     def trajectory_tum(self) -> list[str]:

@@ -58,7 +58,12 @@ MIN_GAP = 10  # keyframes between loops (reference LoopClosing.cc:116)
 
 class LoopCarry(NamedTuple):
     """Device-resident loop-closing state (part of AutoState)."""
-    bow: jax.Array  # [K, W] per-keyframe tf-idf rows (zeros = empty)
+    # sparse per-keyframe tf-idf rows: (word id [K, T] int32 -1-padded,
+    # weight [K, T] f32) — O(K*T) memory independent of vocabulary size
+    # (dense [K, n_words] rows capped the tree at ~10^4 words; the
+    # reference vocabulary is 10^6, TemplatedVocabulary.h:109)
+    bow_idx: jax.Array
+    bow_w: jax.Array
     prev_groups: jax.Array  # [C_MAX, K] bool: last KF's candidate groups
     prev_counts: jax.Array  # [C_MAX] int32 consistency chain lengths
     last_loop_kf: jax.Array  # [] int32 keyframe slot of last closed loop
@@ -69,9 +74,12 @@ class LoopCarry(NamedTuple):
     loop_edges: jax.Array  # [K, K] bool
 
 
-def empty_loop_carry(k_max: int, n_words: int) -> LoopCarry:
+def empty_loop_carry(k_max: int, bow_cap: int) -> LoopCarry:
+    """bow_cap: sparse-row capacity — lossless at >= n_feat (a keyframe
+    touches at most n_feat distinct words)."""
     return LoopCarry(
-        bow=jnp.zeros((k_max, n_words), jnp.float32),
+        bow_idx=jnp.full((k_max, bow_cap), -1, jnp.int32),
+        bow_w=jnp.zeros((k_max, bow_cap), jnp.float32),
         prev_groups=jnp.zeros((C_MAX, k_max), bool),
         prev_counts=jnp.zeros(C_MAX, jnp.int32),
         last_loop_kf=jnp.int32(-MIN_GAP),
@@ -88,35 +96,42 @@ def permute_loop_carry(loop: LoopCarry, order, rank, valid) -> LoopCarry:
 
     ``order``: new->old slot permutation; ``rank``: old->new (count of
     live slots strictly before); ``valid``: pre-compaction liveness."""
-    K = loop.bow.shape[0]
+    K = loop.bow_idx.shape[0]
     live_new = valid[order]  # whether the new slot holds a live keyframe
-    bow = jnp.where(live_new[:, None], loop.bow[order], 0.0)
+    bow_idx = jnp.where(live_new[:, None], loop.bow_idx[order], -1)
+    bow_w = jnp.where(live_new[:, None], loop.bow_w[order], 0.0)
     groups = loop.prev_groups[:, order] & live_new[None, :]
     edges = loop.loop_edges[order][:, order]
     edges = edges & live_new[:, None] & live_new[None, :]
     last = loop.last_loop_kf
-    last = jnp.where(
-        (last >= 0) & (last < K) & valid[jnp.clip(last, 0, K - 1)],
-        rank[jnp.clip(last, 0, K - 1)], last)
-    return loop._replace(bow=bow, prev_groups=groups, loop_edges=edges,
-                         last_loop_kf=last)
+    was_live = (last >= 0) & (last < K) & valid[jnp.clip(last, 0, K - 1)]
+    # a culled last-loop keyframe must NOT keep its stale slot index (it
+    # would alias an unrelated keyframe post-compaction and skew the
+    # min-gap detection gate) — drop to the "no loop yet" sentinel
+    last = jnp.where(was_live, rank[jnp.clip(last, 0, K - 1)],
+                     jnp.where(last >= 0, jnp.int32(-MIN_GAP), last))
+    return loop._replace(bow_idx=bow_idx, bow_w=bow_w, prev_groups=groups,
+                         loop_edges=edges, last_loop_kf=last)
 
 
 def add_keyframe_bow(loop: LoopCarry, voc, kf, desc, valid) -> LoopCarry:
-    """Compute and store the new keyframe's BoW row (reference:
+    """Compute and store the new keyframe's sparse BoW row (reference:
     KeyFrame::ComputeBoW + KeyFrameDatabase::add)."""
     words = V.transform(voc, desc, valid)
-    row = V.bow_vectors(voc, words, valid)
-    return loop._replace(bow=loop.bow.at[kf].set(row))
+    idx, w = V.bow_sparse(voc, words, valid, loop.bow_idx.shape[1])
+    return loop._replace(bow_idx=loop.bow_idx.at[kf].set(idx),
+                         bow_w=loop.bow_w.at[kf].set(w))
 
 
-def detect(loop: LoopCarry, m: MapState, kf) -> tuple[jax.Array, LoopCarry]:
+def detect(loop: LoopCarry, m: MapState, kf,
+           n_words: int) -> tuple[jax.Array, LoopCarry]:
     """DetectLoop on device. Returns (candidate slot or -1, new carry)."""
-    K = loop.bow.shape[0]
+    K = loop.bow_idx.shape[0]
     ids = jnp.arange(K, dtype=jnp.int32)
     W_cov = covisibility_matrix(m)  # [K, K]
     covis_row = W_cov[kf] > 0
-    s = V.score_l1(loop.bow[kf], loop.bow)  # [K]
+    s = V.score_l1_sparse(loop.bow_idx[kf], loop.bow_w[kf],
+                          loop.bow_idx, loop.bow_w, n_words)  # [K]
     live = m.kf_valid & (ids != kf) & (ids < m.n_kf)
     # min score over the current keyframe's covisible keyframes
     # (reference LoopClosing.cc:126-140); 0.5 guard when none.
@@ -377,10 +392,15 @@ def _correct(m: MapState, cam, kf, cand, R12, t12, s12, fix_scale: bool,
         # i<j keeps each undirected pair once (both endpoints list strong
         # mutual neighbors, so the i>j duplicates add nothing)
         cov_ok = (top_w.reshape(-1) >= 100) & (ci < cj)
-        chain_i = ids[:-1]
-        chain_j = ids[1:]
-        chain_ok = (m.kf_valid[chain_i] & m.kf_valid[chain_j]
-                    & (rank[chain_j] == rank[chain_i] + 1))
+        # temporal chain over LIVE slots: gather live indices in slot
+        # order, then chain consecutive entries — this bridges culled
+        # (kf_valid=False) gaps exactly like the dense path's
+        # rank[e_j] == rank[e_i] + 1 test, so loop corrections propagate
+        # past dead slots (reference spanning tree: Optimizer.cc:934-948)
+        live_sel, live_ok = prims.gather_mask_indices(m.kf_valid, K)
+        chain_i = live_sel[:-1]
+        chain_j = live_sel[1:]
+        chain_ok = live_ok[:-1] & live_ok[1:]
         # stored loop edges, bounded gather from the [K,K] bool matrix
         flat_sel, flat_ok = prims.gather_mask_indices(
             loop_edges.reshape(-1), LOOP_CAP)
@@ -463,7 +483,7 @@ def close_loop_step(loop: LoopCarry, m: MapState, cam, kf, voc,
     if add_bow:
         loop = add_keyframe_bow(loop, voc, kf, m.kf_desc[kf],
                                 m.kf_feat_valid[kf])
-    cand, loop = detect(loop, m, kf)
+    cand, loop = detect(loop, m, kf, int(voc.n_words))
 
     def try_sim3(args):
         m, loop = args

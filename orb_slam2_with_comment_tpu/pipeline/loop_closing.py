@@ -78,8 +78,13 @@ class LoopCloser:
         # round trip (~23 ms) per keyframe
         from ..place import vocabulary as V
 
-        def _detect_dev(m: MapState, bow, kf):
-            s = jnp.where(m.kf_valid, V.score_l1(bow[kf], bow), -1.0)
+        n_words = int(db.voc.n_words)
+
+        def _detect_dev(m: MapState, bow_idx, bow_w, kf):
+            s = jnp.where(
+                m.kf_valid,
+                V.score_l1_sparse(bow_idx[kf], bow_w[kf], bow_idx, bow_w,
+                                  n_words), -1.0)
             return covisibility_matrix(m), s
 
         self._detect_dev = jax.jit(_detect_dev)
@@ -118,7 +123,8 @@ class LoopCloser:
             return None
         # one batched covisibility matrix + one score sweep for the whole
         # detection pass (was one device round trip per keyframe row)
-        W_dev, s_dev = self._detect_dev(m, self.db.bow, jnp.int32(kf))
+        W_dev, s_dev = self._detect_dev(m, self.db.bow_idx, self.db.bow_w,
+                                     jnp.int32(kf))
         W = np.asarray(W_dev)
         s_all = np.asarray(s_dev)
         covis = np.where(W[kf] > 0)[0]
@@ -190,10 +196,14 @@ class LoopCloser:
             valid_g, self.width, self.height)
         if not bool(ok40):
             return None
+        # exclude self-pairs (a landmark matched to itself across the two
+        # keyframes would Replace a point with itself) — mirrors the
+        # device path's (l1 != l2g) guard in _sim3_solve
+        pair_ok = valid_g & (l1 != l2g)
         return Sim3Result(ref.R, ref.t, ref.s, int(ref.n_inliers),
-                          jnp.where(valid_g, l1, -1),
-                          jnp.where(valid_g, l2g, -1),
-                          ref.inliers & valid_g)
+                          jnp.where(pair_ok, l1, -1),
+                          jnp.where(pair_ok, l2g, -1),
+                          ref.inliers & pair_ok)
 
     # -- correction -----------------------------------------------------
     def correct(self, m: MapState, kf: int, cand: int,
@@ -515,7 +525,8 @@ class LoopCloser:
         if kf - self.last_loop_kf < self.min_gap:
             self.prev_groups = []
             return None
-        W_dev, s_dev = self._detect_dev(m, self.db.bow, jnp.int32(kf))
+        W_dev, s_dev = self._detect_dev(m, self.db.bow_idx, self.db.bow_w,
+                                     jnp.int32(kf))
         try:
             W_dev.copy_to_host_async()
             s_dev.copy_to_host_async()

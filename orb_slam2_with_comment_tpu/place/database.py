@@ -1,14 +1,17 @@
-"""Keyframe database: dense BoW rows + batched candidate retrieval.
+"""Keyframe database: sparse BoW rows + batched candidate retrieval.
 
 TPU-native rebuild of the reference's KeyFrameDatabase (reference:
-src/KeyFrameDatabase.cc): the word->keyframe inverted file becomes a dense
-[K_max, n_words] tf-idf matrix; loop/relocalization candidate retrieval is
-one batched L1 score against every keyframe at once, followed by the
+src/KeyFrameDatabase.cc): the word->keyframe inverted file becomes sparse
+(word-id, tf-idf weight) rows [K_max, T] — memory independent of the
+vocabulary size, so the tree can scale toward the reference's 10^6 leaves
+(TemplatedVocabulary.h:109). Loop/relocalization candidate retrieval is
+one batched histogram-intersection score (== the DBoW2 L1 score for
+L1-normalized vectors) against every keyframe at once, followed by the
 reference's gating: exclude covisible keyframes, require score >= minScore,
 accumulate scores over each candidate's top-10 covisibility group and keep
 those above 0.75 x best accumulated score
 (reference: DetectLoopCandidates :76-197, DetectRelocalizationCandidates
-:199-309 — word-sharing prefilters were inverted-file bookkeeping; dense
+:199-309 — word-sharing prefilters were inverted-file bookkeeping; batched
 scoring subsumes them).
 
 All device work is jit-compiled once per vocabulary: BoW transform +
@@ -27,49 +30,63 @@ from . import vocabulary as V
 
 
 class KeyFrameDatabase:
-    """Host-managed dense BoW database aligned with MapState keyframe slots."""
+    """Host-managed SPARSE BoW database aligned with MapState keyframe
+    slots: (word-id [K, T], weight [K, T]) pairs — memory independent of
+    vocabulary size (the dense [K, n_words] rows of earlier rounds capped
+    the tree at ~10^4 words; the reference vocabulary is 10^6 leaves)."""
 
-    def __init__(self, voc: V.Vocabulary, k_max: int):
+    def __init__(self, voc: V.Vocabulary, k_max: int, bow_cap: int = 1024):
         self.voc = voc
-        self.bow = jnp.zeros((k_max, voc.n_words), jnp.float32)
+        self.bow_idx = jnp.full((k_max, bow_cap), -1, jnp.int32)
+        self.bow_w = jnp.zeros((k_max, bow_cap), jnp.float32)
+        n_words = int(voc.n_words)
         # jit once per vocabulary: the tree arrays are closure constants
         self._frame_vec = jax.jit(
-            lambda desc, valid: V.bow_vectors(
-                voc, V.transform(voc, desc, valid), valid))
-        self._add = jax.jit(
-            lambda bow, kf, desc, valid: bow.at[kf].set(
-                V.bow_vectors(voc, V.transform(voc, desc, valid), valid)),
-            donate_argnums=0)
+            lambda desc, valid: V.bow_sparse(
+                voc, V.transform(voc, desc, valid), valid, bow_cap))
+        def _add(bi, bw, kf, desc, valid):
+            idx, w = V.bow_sparse(
+                voc, V.transform(voc, desc, valid), valid, bow_cap)
+            return bi.at[kf].set(idx), bw.at[kf].set(w)
+        self._add = jax.jit(_add, donate_argnums=(0, 1))
         self._scores = jax.jit(
-            lambda bow, vec, kf_valid: jnp.where(
-                kf_valid, V.score_l1(vec, bow), -1.0))
+            lambda bi, bw, qi, qw, kf_valid: jnp.where(
+                kf_valid,
+                V.score_l1_sparse(qi, qw, bi, bw, n_words), -1.0))
 
     def add(self, kf: int, desc: jax.Array, valid: jax.Array):
-        self.bow = self._add(self.bow, kf, desc, valid)
+        self.bow_idx, self.bow_w = self._add(
+            self.bow_idx, self.bow_w, kf, desc, valid)
 
     def permute(self, live_slots: np.ndarray, n_live: int):
         """Mirror a keyframe compaction (mapstate.compact_keyframes): live
-        rows move to the front in order, evicted rows are zeroed (the
+        rows move to the front in order, evicted rows are cleared (the
         reference erases culled keyframes from the inverted file,
         KeyFrameDatabase::erase)."""
-        k_max = self.bow.shape[0]
+        k_max = self.bow_idx.shape[0]
         order = np.zeros(k_max, np.int32)
         order[:n_live] = live_slots[:n_live]
-        bow = self.bow[jnp.asarray(order)]
         mask = jnp.arange(k_max) < n_live
-        self.bow = jnp.where(mask[:, None], bow, 0.0)
+        self.bow_idx = jnp.where(mask[:, None],
+                                 self.bow_idx[jnp.asarray(order)], -1)
+        self.bow_w = jnp.where(mask[:, None],
+                               self.bow_w[jnp.asarray(order)], 0.0)
 
     def grow(self, k_max: int):
         """Re-pad the row dimension after map capacity growth."""
-        k0 = self.bow.shape[0]
+        k0 = self.bow_idx.shape[0]
         if k_max > k0:
-            self.bow = jnp.pad(self.bow, ((0, k_max - k0), (0, 0)))
+            self.bow_idx = jnp.pad(self.bow_idx, ((0, k_max - k0), (0, 0)),
+                                   constant_values=-1)
+            self.bow_w = jnp.pad(self.bow_w, ((0, k_max - k0), (0, 0)))
 
-    def frame_vector(self, desc: jax.Array, valid: jax.Array) -> jax.Array:
+    def frame_vector(self, desc: jax.Array, valid: jax.Array):
         return self._frame_vec(desc, valid)
 
-    def scores(self, vec: jax.Array, kf_valid: jax.Array) -> jax.Array:
-        return self._scores(self.bow, vec, kf_valid)
+    def scores(self, vec, kf_valid: jax.Array) -> jax.Array:
+        """vec: sparse (idx, w) pair from frame_vector / a stored row."""
+        qi, qw = vec
+        return self._scores(self.bow_idx, self.bow_w, qi, qw, kf_valid)
 
     def detect_loop_candidates(self, m: MapState, kf: int, min_score: float,
                                max_candidates: int = 5,
@@ -82,7 +99,8 @@ class KeyFrameDatabase:
         if covis is None:
             covis = np.asarray(covisibility_matrix(m))
         s = (np.array(scores) if scores is not None
-             else np.array(self.scores(self.bow[kf], m.kf_valid)))
+             else np.array(self.scores(
+                 (self.bow_idx[kf], self.bow_w[kf]), m.kf_valid)))
         s[kf] = -1
         s[covis[kf] > 0] = -1
         s[~np.asarray(m.kf_valid)] = -1

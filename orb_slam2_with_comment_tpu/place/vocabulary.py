@@ -194,3 +194,59 @@ def score_l1(v: jax.Array, db: jax.Array) -> jax.Array:
     """DBoW2 L1 score (reference: ScoringObject L1Scoring): both inputs
     L1-normalized; s = 1 - 0.5 * |v - w|_1, batched over db rows [K, W]."""
     return 1.0 - 0.5 * jnp.sum(jnp.abs(v[None, :] - db), axis=-1)
+
+
+# --- sparse BoW rows -------------------------------------------------------
+#
+# Dense [K, n_words] rows cap the vocabulary at ~10^4 words (the reference
+# tree is 10^6 leaves, TemplatedVocabulary.h:109). A keyframe touches at
+# most n_feat distinct words, so its tf-idf vector is stored exactly as
+# (word_id, weight) pairs [T] — memory O(K*T) independent of vocabulary
+# size, like DBoW2's sparse BowVector. For L1-normalized vectors the L1
+# score reduces to histogram intersection over COMMON words:
+#   1 - 0.5*|v-w|_1 = sum_common min(v_i, w_i)
+# which needs one dense scratch of the QUERY only ([n_words], 4 MB at 10^6
+# words) — never a [K, n_words] matrix.
+
+
+def bow_sparse(voc: Vocabulary, words: jax.Array, valid: jax.Array,
+               cap: int) -> tuple[jax.Array, jax.Array]:
+    """[N] word ids -> sparse L1-normalized tf-idf row: (idx [cap] int32
+    word ids, -1 padded; w [cap] f32). cap >= N is lossless (<= N distinct
+    words exist); smaller caps drop the highest word ids."""
+    N = words.shape[0]
+    ok = valid & (words >= 0)
+    sw = jnp.sort(jnp.where(ok, words, jnp.int32(2**31 - 1)))
+    first = jnp.concatenate([jnp.ones(1, bool), sw[1:] != sw[:-1]])
+    is_word = sw < 2**31 - 1
+    # run lengths via searchsorted on the sorted array
+    start = jnp.searchsorted(sw, sw, side="left")
+    end = jnp.searchsorted(sw, sw, side="right")
+    tf = (end - start).astype(jnp.float32)
+    keep = first & is_word
+    # pack unique words to a [cap] prefix (order-stable by word id);
+    # cap > N pads with empty slots
+    order = jnp.argsort(~keep, stable=True).astype(jnp.int32)[:cap]
+    got = keep[order]
+    if cap > N:
+        pad = cap - N
+        order = jnp.concatenate([order, jnp.zeros(pad, jnp.int32)])
+        got = jnp.concatenate([got, jnp.zeros(pad, bool)])
+    idx = jnp.where(got, sw[order], -1).astype(jnp.int32)
+    w = jnp.where(got, tf[order], 0.0)
+    w = w * jnp.asarray(voc.word_weight)[jnp.clip(idx, 0)]
+    w = jnp.where(got, w, 0.0)
+    return idx, w / jnp.clip(jnp.sum(w), 1e-9, None)
+
+
+def score_l1_sparse(q_idx: jax.Array, q_w: jax.Array, rows_idx: jax.Array,
+                    rows_w: jax.Array, n_words: int) -> jax.Array:
+    """L1 score of one sparse query against K sparse rows: [K] scores.
+    q_idx/q_w [T]; rows_idx/rows_w [K, T]. Empty rows score 0."""
+    # pad entries (-1) scatter into a sacrificial overflow slot — clipping
+    # them to 0 would overwrite word 0's weight
+    safe = jnp.where(q_idx >= 0, q_idx, n_words)
+    scratch = jnp.zeros(n_words + 1, jnp.float32).at[safe].set(q_w)
+    qv = scratch[jnp.clip(rows_idx, 0)]  # [K, T]
+    rv = jnp.where(rows_idx >= 0, rows_w, 0.0)
+    return jnp.sum(jnp.minimum(qv, rv), axis=-1)

@@ -13,9 +13,28 @@ import os
 import jax
 
 
+def _host_fingerprint() -> str:
+    """Hash of this host's CPU feature flags. XLA:CPU AOT executables are
+    compiled against the build machine's feature set; loading an entry
+    cached by a DIFFERENT machine (shared $HOME across heterogeneous
+    hosts) warns `cpu_aot_loader` and can SIGILL mid-suite. Keying the
+    cache directory by the flags makes foreign entries invisible."""
+    import hashlib
+    try:
+        with open("/proc/cpuinfo") as f:
+            for ln in f:
+                if ln.startswith("flags"):
+                    return hashlib.sha256(ln.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    import platform
+    return hashlib.sha256(platform.processor().encode()).hexdigest()[:12]
+
+
 def enable_compilation_cache(path: str | None = None) -> None:
     path = path or os.environ.get(
-        "ORB_TPU_COMPILE_CACHE", os.path.expanduser("~/.cache/orb_tpu_xla"))
+        "ORB_TPU_COMPILE_CACHE",
+        os.path.expanduser("~/.cache/orb_tpu_xla-" + _host_fingerprint()))
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)

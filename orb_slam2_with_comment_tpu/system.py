@@ -79,9 +79,10 @@ class System:
     """User-facing façade (reference: System.h:62-123).
 
     Parameters mirror the reference constructor minus the vocabulary file
-    (the BoW vocabulary is trained online from the first keyframe —
-    pipeline.tracking) and the viewer flag (visualization.export replaces
-    the Pangolin GUI).
+    (the packaged offline-trained 88.5k-word tree loads automatically —
+    place.vocabulary.load_default_vocabulary, our ORBvoc.txt counterpart;
+    reference: System.cc:71) and the viewer flag (visualization.export
+    replaces the Pangolin GUI).
     """
 
     def __init__(self, config: TrackerConfig | None = None,

@@ -22,7 +22,7 @@ import jax.numpy as jnp  # noqa: E402
 
 
 def main(n_worlds: int = 24, frames_per_world: int = 8,
-         k: int = 10, levels: int = 4):
+         k: int = 10, levels: int = 4, out: str | None = None):
     """Harvest a diverse descriptor corpus and train the k^L tree.
 
     Diversity axes (the reference's Flickr1M gives natural-image variety;
@@ -58,15 +58,25 @@ def main(n_worlds: int = 24, frames_per_world: int = 8,
             all_desc.append(d)
         print(f"world {seed}: {sum(len(d) for d in all_desc)} descriptors so far")
     descs = np.concatenate(all_desc)
-    print(f"training k={k} L={levels} on {len(descs)} descriptors")
+    print(f"training k={k} L={levels} on {len(descs)} descriptors",
+          flush=True)
     voc = train_vocabulary(descs, k=k, levels=levels, seed=0)
-    out = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "orb_slam2_with_comment_tpu", "place",
-        "data", "vocab_default.npz")
+    if out is None:
+        out = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "orb_slam2_with_comment_tpu",
+            "place", "data", "vocab_default.npz")
     os.makedirs(os.path.dirname(out), exist_ok=True)
     save_vocabulary(voc, out)
     print(f"saved {voc.n_words}-word vocabulary -> {out}")
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--worlds", type=int, default=24)
+    ap.add_argument("--frames", type=int, default=8)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--levels", type=int, default=4)
+    ap.add_argument("--out", default=None)
+    a = ap.parse_args()
+    main(a.worlds, a.frames, a.k, a.levels, a.out)

@@ -40,7 +40,7 @@ def loop_run():
     voc = load_default_vocabulary(as_numpy=True)
     cam = cfg.cam
     m = empty_map(cfg.map_cfg)
-    loop = auto_loop.empty_loop_carry(cfg.map_cfg.k_max, voc.n_words)
+    loop = auto_loop.empty_loop_carry(cfg.map_cfg.k_max, 1000)
     step = jax.jit(lambda lp, mm, kk: auto_loop.close_loop_step(
         lp, mm, cam, kk, voc, fix_scale=True))
 
@@ -109,7 +109,7 @@ def test_no_spurious_loops_without_revisit():
     voc = load_default_vocabulary(as_numpy=True)
     cam = cfg.cam
     m = empty_map(cfg.map_cfg)
-    loop = auto_loop.empty_loop_carry(cfg.map_cfg.k_max, voc.n_words)
+    loop = auto_loop.empty_loop_carry(cfg.map_cfg.k_max, 1000)
     step = jax.jit(lambda lp, mm, kk: auto_loop.close_loop_step(
         lp, mm, cam, kk, voc, fix_scale=True))
     for k, (R, t) in enumerate(poses):
@@ -141,7 +141,7 @@ def test_dataset_scale_paths_trace():
             fps=30, depth_factor=1.0)
         voc = load_default_vocabulary(as_numpy=True)
         m = empty_map(cfg.map_cfg)
-        loop = auto_loop.empty_loop_carry(k_max, voc.n_words)
+        loop = auto_loop.empty_loop_carry(k_max, 200)
         cam = cfg.cam
 
         def step(lp, mm, kk):
@@ -151,4 +151,4 @@ def test_dataset_scale_paths_trace():
 
         out_m, out_loop = jax.eval_shape(step, loop, m, jnp.int32(3))
         assert out_m.kf_R.shape == (k_max, 3, 3)
-        assert out_loop.bow.shape[0] == k_max
+        assert out_loop.bow_idx.shape[0] == k_max

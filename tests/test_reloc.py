@@ -78,13 +78,19 @@ class TestKidnappedRobot:
         assert np.linalg.norm(c_est - c_gt) < 0.10, (c_est, c_gt)
 
     def test_post_reloc_keyframe_embargo(self, kidnapped_run):
-        """No keyframe within fps frames of the reloc while the map is
-        mature (reference: Tracking.cc:1150-1160). With fps=10 and the
-        sequence ending ~5 frames after recovery, the reloc itself must
-        not have spawned keyframes when n_kf > fps."""
+        """The reference embargo (Tracking.cc:1150-1160) applies at
+        INSERTION time: refuse a keyframe while frame_id < last_reloc +
+        fps AND the map already holds MORE THAN fps keyframes (strictly:
+        ``nKFs > mMaxFrames``). A post-reloc insertion made when the map
+        held exactly fps keyframes is legal. No compaction runs at
+        k_max=24 in this fixture, so slot index == insertion rank ==
+        keyframe count at decision time."""
         tracker, *_ = kidnapped_run
-        if tracker.n_kf_host > tracker.cfg.fps:
-            m = tracker.map
-            frame_ids = np.asarray(m.kf_frame_id)[:tracker.n_kf_host]
-            post = frame_ids[frame_ids >= tracker.last_reloc_frame]
-            assert len(post) == 0, post
+        m = tracker.map
+        fps = tracker.cfg.fps
+        frame_ids = np.asarray(m.kf_frame_id)[:tracker.n_kf_host]
+        reloc = tracker.last_reloc_frame
+        in_embargo = (frame_ids >= reloc) & (frame_ids < reloc + fps)
+        ranks = np.arange(len(frame_ids))
+        violations = frame_ids[in_embargo & (ranks > fps)]
+        assert len(violations) == 0, violations
