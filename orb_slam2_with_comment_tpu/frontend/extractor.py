@@ -104,6 +104,11 @@ class OrbExtractor:
             img_l.astype(jnp.float32), self.n_levels, self.scale_factor)
         pyr_r = image.build_pyramid(
             img_r.astype(jnp.float32), self.n_levels, self.scale_factor)
+        # L/R extraction stays SEQUENTIAL inside one program (the
+        # reference's two threads, Frame.cc:78-81, fuse into one XLA
+        # schedule): a vmap-over-pair variant was measured SLOWER (27.8 vs
+        # 38.5 fps end-to-end) — batched top-k/one-hot selections lower
+        # worse than two overlapping unbatched schedules
         feats_l = self._extract_from_pyramid(pyr_l)
         feats_r = self._extract_from_pyramid(pyr_r)
         sd = _stereo.match_stereo(
@@ -115,72 +120,84 @@ class OrbExtractor:
         pyr = image.build_pyramid(img, self.n_levels, self.scale_factor)
         return self._extract_from_pyramid(pyr)
 
-    def _extract_from_pyramid(self, pyr) -> FrameFeatures:
+    def _extract_from_pyramid(self, pyr, batched: bool = False):
+        """pyr: list of [h, w] level images (batched=False) or [B, h, w]
+        stacks (batched=True -> returns FrameFeatures with [B, N] axes)."""
         kmat = orientation.moment_kernel_matrix()
         parts = []
         for lvl, (lvl_img, budget) in enumerate(zip(pyr, self.budgets)):
             if budget <= 0:
                 continue
-            h, w = lvl_img.shape
-            score = fast.fast_score_map(lvl_img)
-            # Border mask: keypoints must keep the orientation/descriptor
-            # patch inside the image (reference EDGE_THRESHOLD=19, FAST
-            # domain starts at 16; ORBextractor.cc:72-74,769).
-            m = self.margin
-            yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-            xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-            inb = (yy >= m) & (yy < h - m) & (xx >= m) & (xx < w - m)
-            score = jnp.where(inb, score, 0.0)
-            yx, resp, valid = fast.select_keypoints(
-                score, budget, self.cell, self.per_cell, self.th_high, self.th_low)
-            # ALL per-keypoint sampling (IC angle, subpixel parabola, BRIEF)
-            # comes from one batched patch extraction expressed as one-hot
-            # matmuls — TPU has no hardware gather, so per-keypoint
-            # indexing ops each cost ~1 ms regardless of size (ops.patches).
-            # Integer-rounded blurred image: the reference samples BRIEF
-            # from a uint8 blurred image (OpenCV GaussianBlur on CV_8U);
-            # integers <= 255 are also exact under bf16 matmuls, so the
-            # descriptor GEMM stays bit-exact at TPU default precision.
-            blurred = jnp.round(image.gaussian_blur(lvl_img))
-            maps = jnp.stack([lvl_img, blurred, score])
-            pat = patch_ops.extract_patches(maps, yx, brief.BRIEF_RADIUS)
-            # IC angle from the central 31x31 of the raw-image patch.
-            ic = brief.BRIEF_RADIUS - orientation.HALF_PATCH
-            raw31 = pat[:, 0, ic:ic + 31, ic:ic + 31]
-            mom = raw31.reshape(budget, -1) @ kmat
-            ang = jnp.arctan2(mom[:, 1], mom[:, 0])
-            # exact per-keypoint rotation (reference: computeOrbDescriptor
-            # ORBextractor.cc:108-147). The 30-bin steered bank
-            # (descriptors_from_patches) measurably loses 20-30% of
-            # correct matches at mid-bin roll angles
-            # (tests/test_brief_quantization.py) and the exact batched
-            # patch sampling costs the same on TPU (~0.04 ms / 1000 kps).
-            desc = brief.descriptors_from_patches_exact(
-                pat[:, 1].reshape(budget, -1), ang)
-            # Subpixel 1D parabola per axis on the score patch center
-            # (fast.subpixel_refine semantics, without the gathers).
-            hp = brief.BRIEF_RADIUS
-            sp = pat[:, 2]
-            c = sp[:, hp, hp]
-            up, dn = sp[:, hp - 1, hp], sp[:, hp + 1, hp]
-            lf, rt = sp[:, hp, hp - 1], sp[:, hp, hp + 1]
-            den_y = up - 2 * c + dn
-            den_x = lf - 2 * c + rt
-            sub_dy = jnp.clip(0.5 * (up - dn) / jnp.where(
-                jnp.abs(den_y) < 1e-6, 1e-6, den_y), -0.5, 0.5)
-            sub_dx = jnp.clip(0.5 * (lf - rt) / jnp.where(
-                jnp.abs(den_x) < 1e-6, 1e-6, den_x), -0.5, 0.5)
-            sub = jnp.stack([sub_dy, sub_dx], axis=-1)
-            scale = self.scales[lvl]
-            xy0 = jnp.stack(
-                [(yx[:, 1].astype(jnp.float32) + sub[:, 1]) * scale,
-                 (yx[:, 0].astype(jnp.float32) + sub[:, 0]) * scale], axis=-1)
-            octv = jnp.full(budget, lvl, jnp.int32)
-            parts.append((xy0, resp, octv, ang, desc, valid))
-        xy = jnp.concatenate([p[0] for p in parts])
-        resp = jnp.concatenate([p[1] for p in parts])
-        octv = jnp.concatenate([p[2] for p in parts])
-        ang = jnp.concatenate([p[3] for p in parts])
-        desc = jnp.concatenate([p[4] for p in parts])
-        valid = jnp.concatenate([p[5] for p in parts])
+            body = partial(self._level_features, lvl=lvl, budget=budget,
+                           kmat=kmat)
+            parts.append(jax.vmap(body)(lvl_img) if batched
+                         else body(lvl_img))
+        axis = 1 if batched else 0
+        xy = jnp.concatenate([p[0] for p in parts], axis=axis)
+        resp = jnp.concatenate([p[1] for p in parts], axis=axis)
+        octv = jnp.concatenate([p[2] for p in parts], axis=axis)
+        ang = jnp.concatenate([p[3] for p in parts], axis=axis)
+        desc = jnp.concatenate([p[4] for p in parts], axis=axis)
+        valid = jnp.concatenate([p[5] for p in parts], axis=axis)
         return FrameFeatures(xy, resp, octv, ang, desc, valid)
+
+    def _level_features(self, lvl_img, lvl: int, budget: int, kmat):
+        h, w = lvl_img.shape
+        score = fast.fast_score_map(lvl_img)
+        # Border mask: keypoints must keep the orientation/descriptor
+        # patch inside the image (reference EDGE_THRESHOLD=19, FAST
+        # domain starts at 16; ORBextractor.cc:72-74,769).
+        m = self.margin
+        yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+        xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+        inb = (yy >= m) & (yy < h - m) & (xx >= m) & (xx < w - m)
+        score = jnp.where(inb, score, 0.0)
+        yx, resp, valid = fast.select_keypoints(
+            score, budget, self.cell, self.per_cell, self.th_high, self.th_low)
+        # ALL per-keypoint sampling (IC angle, subpixel parabola, BRIEF)
+        # comes from one batched patch extraction expressed as one-hot
+        # matmuls — TPU has no hardware gather, so per-keypoint
+        # indexing ops each cost ~1 ms regardless of size (ops.patches).
+        # Integer-rounded blurred image: the reference samples BRIEF
+        # from a uint8 blurred image (OpenCV GaussianBlur on CV_8U);
+        # integers <= 255 are also exact under bf16 matmuls, so the
+        # descriptor GEMM stays bit-exact at TPU default precision.
+        blurred = jnp.round(image.gaussian_blur(lvl_img))
+        # Three patch extractions sized to what each consumer reads —
+        # blurred at the full BRIEF radius (rotated-pair sampling), raw at
+        # 31x31 (IC angle), score at 3x3 (subpixel parabola). One 3-channel
+        # call at the BRIEF radius moved ~1.9x these GEMM flops.
+        pat_b = patch_ops.extract_patches(
+            blurred[None], yx, brief.BRIEF_RADIUS)[:, 0]
+        raw31 = patch_ops.extract_patches(
+            lvl_img[None], yx, orientation.HALF_PATCH)[:, 0]
+        mom = raw31.reshape(budget, -1) @ kmat
+        ang = jnp.arctan2(mom[:, 1], mom[:, 0])
+        # exact per-keypoint rotation (reference: computeOrbDescriptor
+        # ORBextractor.cc:108-147). The 30-bin steered bank
+        # (descriptors_from_patches) measurably loses 20-30% of
+        # correct matches at mid-bin roll angles
+        # (tests/test_brief_quantization.py) and the exact batched
+        # patch sampling costs the same on TPU (~0.04 ms / 1000 kps).
+        desc = brief.descriptors_from_patches_exact(
+            pat_b.reshape(budget, -1), ang)
+        # Subpixel 1D parabola per axis on the score patch center
+        # (fast.subpixel_refine semantics, without the gathers).
+        hp = 1
+        sp = patch_ops.extract_patches(score[None], yx, 1)[:, 0]
+        c = sp[:, hp, hp]
+        up, dn = sp[:, hp - 1, hp], sp[:, hp + 1, hp]
+        lf, rt = sp[:, hp, hp - 1], sp[:, hp, hp + 1]
+        den_y = up - 2 * c + dn
+        den_x = lf - 2 * c + rt
+        sub_dy = jnp.clip(0.5 * (up - dn) / jnp.where(
+            jnp.abs(den_y) < 1e-6, 1e-6, den_y), -0.5, 0.5)
+        sub_dx = jnp.clip(0.5 * (lf - rt) / jnp.where(
+            jnp.abs(den_x) < 1e-6, 1e-6, den_x), -0.5, 0.5)
+        sub = jnp.stack([sub_dy, sub_dx], axis=-1)
+        scale = self.scales[lvl]
+        xy0 = jnp.stack(
+            [(yx[:, 1].astype(jnp.float32) + sub[:, 1]) * scale,
+             (yx[:, 0].astype(jnp.float32) + sub[:, 0]) * scale], axis=-1)
+        octv = jnp.full(budget, lvl, jnp.int32)
+        return (xy0, resp, octv, ang, desc, valid)

@@ -35,43 +35,56 @@ def _sad_refine_block(pyr_l: jax.Array, pyr_r: jax.Array, inv_scale: float,
                       xy_l: jax.Array, u_r0: jax.Array):
     """Subpixel correlation for one pyramid level's keypoint block.
 
-    Returns (inc_plus_delta, best_sad, ok): the refined shift (in level
-    pixels, relative to round(u_r0 * inv_scale)), the best SAD score used by
-    the outlier sweep, and the validity mask (shift not at the search edge,
-    |delta| <= 1; reference Frame.cc:611-636).
+    Patch reads are one-hot matmuls (ops.patches.extract_patches): the
+    earlier vmapped dynamic_slice lowered to one gather op per level per
+    side (~1 ms fixed cost each on TPU regardless of size) and dominated
+    the stereo front end; the GEMM formulation batches every keypoint's
+    window into one MXU contraction.
+
+    Returns (refined right-u in level pixels, best SAD, ok): shift not at
+    the search edge, |delta| <= 1 (reference Frame.cc:611-636).
     """
+    from ..ops import patches as patch_ops
     h, w = pyr_l.shape
     xl = xy_l[:, 0] * inv_scale
     yl = xy_l[:, 1] * inv_scale
     ur0 = jnp.round(u_r0 * inv_scale)
-
-    def one(xl_i, yl_i, ur0_i):
-        yi = jnp.clip(jnp.round(yl_i).astype(jnp.int32) - W, 0, h - (2 * W + 1))
-        xi = jnp.clip(jnp.round(xl_i).astype(jnp.int32) - W, 0, w - (2 * W + 1))
-        patch_l = jax.lax.dynamic_slice(pyr_l, (yi, xi), (2 * W + 1, 2 * W + 1))
-        patch_l = patch_l - patch_l[W, W]
-        # strip wide enough for shifts -L..L around the scaled right u
-        x0 = ur0_i.astype(jnp.int32) - W - L
-        inb = (x0 >= 0) & (x0 + 2 * W + 2 * L + 1 <= w)
-        x0c = jnp.clip(x0, 0, w - (2 * W + 2 * L + 1))
-        strip = jax.lax.dynamic_slice(
-            pyr_r, (yi, x0c), (2 * W + 1, 2 * W + 2 * L + 1))
-        sads = []
-        for o in range(2 * L + 1):
-            win = jax.lax.slice_in_dim(strip, o, o + 2 * W + 1, axis=1)
-            win = win - win[W, W]
-            sads.append(jnp.sum(jnp.abs(patch_l - win)))
-        sad = jnp.stack(sads)                          # [2L+1]
-        best = jnp.argmin(sad)
-        edge = (best == 0) | (best == 2 * L)
-        b = jnp.clip(best, 1, 2 * L - 1)
-        d1, d2, d3 = sad[b - 1], sad[b], sad[b + 1]
-        denom = d1 + d3 - 2.0 * d2
-        delta = jnp.where(denom > 0, (d1 - d3) / (2.0 * jnp.clip(denom, 1e-9, None)), 2.0)
-        ok = inb & ~edge & (jnp.abs(delta) <= 1.0)
-        return (b.astype(jnp.float32) - L) + delta, sad[best], ok
-
-    inc, best_sad, ok = jax.vmap(one)(xl, yl, ur0)
+    yi = jnp.round(yl).astype(jnp.int32)
+    xi = jnp.round(xl).astype(jnp.int32)
+    uri = ur0.astype(jnp.int32)
+    # match the original dynamic_slice corner clipping: the window corner
+    # was clamped into the image, shifting the effective center
+    yc = jnp.clip(yi - W, 0, h - (2 * W + 1)) + W
+    xc = jnp.clip(xi - W, 0, w - (2 * W + 1)) + W
+    # left 11x11 patch around (yc, xc)
+    p_l = patch_ops.extract_patches(
+        pyr_l[None], jnp.stack([yc, xc], axis=-1), W)[:, 0]  # [N, 11, 11]
+    p_l = p_l - p_l[:, W:W + 1, W:W + 1]
+    # right 11x(2W+2L+1) strip: extract a square of radius W+L at the
+    # (possibly corner-clamped) strip center and slice the middle rows
+    x0 = uri - W - L
+    inb = (x0 >= 0) & (x0 + 2 * W + 2 * L + 1 <= w)
+    x0c = jnp.clip(x0, 0, w - (2 * W + 2 * L + 1))
+    strip_c = jnp.stack([yc, x0c + W + L], axis=-1)
+    sq = patch_ops.extract_patches(pyr_r[None], strip_c, W + L)[:, 0]
+    strip = sq[:, L:L + 2 * W + 1, :]  # [N, 11, 2W+2L+1]
+    sads = []
+    for o in range(2 * L + 1):
+        win = jax.lax.slice_in_dim(strip, o, o + 2 * W + 1, axis=2)
+        win = win - win[:, W:W + 1, W:W + 1]
+        sads.append(jnp.sum(jnp.abs(p_l - win), axis=(1, 2)))
+    sad = jnp.stack(sads, axis=-1)                     # [N, 2L+1]
+    best = jnp.argmin(sad, axis=-1)
+    edge = (best == 0) | (best == 2 * L)
+    b = jnp.clip(best, 1, 2 * L - 1)
+    take = lambda i: jnp.take_along_axis(sad, i[:, None], axis=1)[:, 0]
+    d1, d2, d3 = take(b - 1), take(b), take(b + 1)
+    denom = d1 + d3 - 2.0 * d2
+    delta = jnp.where(denom > 0,
+                      (d1 - d3) / (2.0 * jnp.clip(denom, 1e-9, None)), 2.0)
+    ok = inb & ~edge & (jnp.abs(delta) <= 1.0)
+    inc = (b.astype(jnp.float32) - L) + delta
+    best_sad = take(best)
     return ur0 + inc, best_sad, ok
 
 

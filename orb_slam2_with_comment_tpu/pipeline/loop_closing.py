@@ -73,6 +73,11 @@ class LoopCloser:
         self.gba_generation = 0
         self.gba_chunk_iters = 2
         self.gba_total_iters = 10
+        # multi-device GBA backend: when a Mesh is attached (e.g. by the
+        # distributed launcher, scripts/launch_distributed.py), global-BA
+        # chunks dispatch to parallel.dist_ba.ba_solve_sharded instead of
+        # the single-device engines
+        self.mesh = None
         # ONE device program for the whole detection pass (covisibility
         # matrix + BoW scores); separate eager calls each paid a tunnel
         # round trip (~23 ms) per keyframe
@@ -439,14 +444,26 @@ class LoopCloser:
             return None
         iters = min(self.gba_chunk_iters, g["left"])
         prob = g["prob"]
-        if g["Pp"] <= 64:
+        if self.mesh is not None and g["Lp"] % self.mesh.devices.size == 0:
+            # multi-device GBA: landmark shards + psum-reduced camera
+            # system over the mesh (parallel.dist_ba — SURVEY §2.5 P7).
+            # Fixed damping per chunk (the sharded engine favors fixed
+            # schedules over per-iteration host sync).
+            from ..parallel import dist_ba
+            Rn, tn, Xn, _ = dist_ba.ba_solve_sharded(
+                self.cam, prob, self.mesh, iters=iters,
+                lam=float(g["lam"]), robust=True)
+            g["prob"] = prob._replace(R=Rn, t=tn, X=Xn)
+        elif g["Pp"] <= 64:
             res = ba.ba_solve(self.cam, prob, iters=iters, robust=True,
                               init_lambda=g["lam"])
+            g["prob"] = prob._replace(R=res.R, t=res.t, X=res.X)
+            g["lam"] = res.final_lambda
         else:
             res = ba.ba_solve_cg(self.cam, prob, iters=iters, robust=True,
                                  init_lambda=g["lam"])
-        g["prob"] = prob._replace(R=res.R, t=res.t, X=res.X)
-        g["lam"] = res.final_lambda
+            g["prob"] = prob._replace(R=res.R, t=res.t, X=res.X)
+            g["lam"] = res.final_lambda
         g["left"] -= iters
         if g["left"] > 0:
             return None
