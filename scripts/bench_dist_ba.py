@@ -215,3 +215,7 @@ def model_section(P, L, D, P_big=512, L_big=200_000):
         "claim speedup — a virtual mesh on shared host cores cannot "
         "show one.\n")
     return "".join(out)
+
+
+if __name__ == "__main__":
+    main()
