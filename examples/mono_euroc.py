@@ -30,7 +30,8 @@ def main(argv):
         from orb_slam2_with_comment_tpu.dataio.settings import (
             load_tracker_config)
         from orb_slam2_with_comment_tpu.pipeline import AutoTracker
-        cfg = load_tracker_config(settings_path, expected_frames=len(ds))
+        cfg = load_tracker_config(settings_path, expected_frames=len(ds),
+                                  sensor="mono")
         cfg.sensor = "mono"
         tracker = AutoTracker(cfg)
         t0 = time.perf_counter()

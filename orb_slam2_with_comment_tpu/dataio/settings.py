@@ -79,6 +79,14 @@ class Settings:
     right_rect: dict | None = None
     width: int = 640
     height: int = 480
+    # monocular-bootstrap gates (engine extension keys Init.minFeatures /
+    # Init.minMatches; absent from reference YAMLs -> reference-strength
+    # defaults). The right values are a property of the image source's
+    # corner density: synthetic fixtures carry ~200 level-0 corners vs
+    # >400 on real imagery (TrackerConfig.min_init_matches docstring), so
+    # fixture settings files declare their own gates.
+    min_init_features: int | None = None
+    min_init_matches: int | None = None
 
 
 def load_settings(path: str) -> Settings:
@@ -106,6 +114,10 @@ def load_settings(path: str) -> Settings:
     s.min_th_fast = int(g("ORBextractor.minThFAST", 7))
     s.width = int(g("Camera.width", 640))
     s.height = int(g("Camera.height", 480))
+    if "Init.minFeatures" in raw:
+        s.min_init_features = int(raw["Init.minFeatures"])
+    if "Init.minMatches" in raw:
+        s.min_init_matches = int(raw["Init.minMatches"])
     if "LEFT.K" in raw:
         s.left_rect = {k.split(".", 1)[1]: raw[k] for k in raw if k.startswith("LEFT.")}
         s.right_rect = {k.split(".", 1)[1]: raw[k] for k in raw if k.startswith("RIGHT.")}
@@ -115,7 +127,8 @@ def load_settings(path: str) -> Settings:
 
 
 def load_tracker_config(path: str, expected_frames: int | None = None,
-                        k_max: int | None = None, l_max: int | None = None):
+                        k_max: int | None = None, l_max: int | None = None,
+                        sensor: str | None = None):
     """Settings file -> TrackerConfig (sensor is set by the System ctor).
 
     The map capacity is sized to the extractor budget: feature slots per
@@ -133,6 +146,16 @@ def load_tracker_config(path: str, expected_frames: int | None = None,
     from ..mapstate.map import MapConfig
     from ..pipeline import TrackerConfig
     s = load_settings(path)
+    n_features = s.n_features
+    if sensor == "mono":
+        # The reference runs monocular INITIALIZATION with a 2x-density
+        # extractor (mpIniORBextractor = 2*nFeatures, Tracking.cc:126) —
+        # without it the level-0 budget (~200 of 1000 slots) starves the
+        # init window matcher below its >=100-match gate. Fixed-shape SoA
+        # rows cannot swap extractors mid-run, so monocular configs carry
+        # the doubled budget for the whole run (a strict superset of the
+        # reference's feature set; steady-state cost is a few ms/frame).
+        n_features = 2 * s.n_features
     if k_max is None:
         if expected_frames is not None:
             # ~1 keyframe per 3 frames pre-culling, rounded to a power of 2
@@ -144,12 +167,17 @@ def load_tracker_config(path: str, expected_frames: int | None = None,
     if l_max is None:
         # steady state ~150-400 live landmarks born per keyframe
         l_max = max(20000, min(1 << 20, k_max * 512))
-    map_cfg = MapConfig(k_max=k_max, n_feat=s.n_features, l_max=l_max)
+    map_cfg = MapConfig(k_max=k_max, n_feat=n_features, l_max=l_max)
+    init_kw = {}
+    if s.min_init_features is not None:
+        init_kw["min_init_features"] = s.min_init_features
+    if s.min_init_matches is not None:
+        init_kw["min_init_matches"] = s.min_init_matches
     return TrackerConfig(
         fx=s.fx, fy=s.fy, cx=s.cx, cy=s.cy, bf=s.bf or 40.0,
-        width=s.width, height=s.height, n_features=s.n_features,
+        width=s.width, height=s.height, n_features=n_features,
         th_depth=s.th_depth, fps=s.fps, map_cfg=map_cfg,
-        dist=tuple(float(x) for x in s.dist),
+        dist=tuple(float(x) for x in s.dist), **init_kw,
         # Depth arrives in METERS at the tracker boundary: the reference
         # converts raw uint16 depth inside Tracking (Tracking.cc:144-148
         # convertTo(CV_32F, 1/DepthMapFactor)); here the dataset loaders /

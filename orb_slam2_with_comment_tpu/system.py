@@ -92,7 +92,8 @@ class System:
         if config is None and settings_path is not None:
             from .dataio.settings import load_tracker_config
             config = load_tracker_config(settings_path,
-                                         expected_frames=expected_frames)
+                                         expected_frames=expected_frames,
+                                         sensor=_SENSOR_NAME[sensor])
         if config is None:
             config = TrackerConfig()
         config.sensor = _SENSOR_NAME[sensor]

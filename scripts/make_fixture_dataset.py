@@ -74,6 +74,11 @@ ORBextractor.scaleFactor: 1.2
 ORBextractor.nLevels: 8
 ORBextractor.iniThFAST: 20
 ORBextractor.minThFAST: 7
+# engine extension: monocular-bootstrap gates tuned to the synthetic
+# corner density (~200 level-0 corners; real imagery carries >400 and
+# uses the reference-strength defaults)
+Init.minFeatures: 150
+Init.minMatches: 60
 """
 
 SETTINGS_KITTI = """%YAML:1.0

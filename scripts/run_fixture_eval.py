@@ -215,6 +215,28 @@ def main():
         "ate_rmse_m_scaled": float(ate_rmse(c_e[ia], c_g[ib],
                                             with_scale=True))}
 
+    # --- mono REVISIT loop sequence through the autonomous path
+    # (VERDICT r3 #8: a mono loop fixture through mono_tum.py --auto) ---
+    wd, out_mono_loop = run_driver(
+        "examples/mono_tum.py",
+        [os.path.join(loopd, "settings.yaml"), loopd, "--auto"],
+        "run_mono_loop", capture=True)
+    ml_loops = 0
+    for tok in out_mono_loop.split("\n"):
+        if "loops closed" in tok:
+            ml_loops = int(tok.split("keyframes,")[1].split("loops")[0])
+    ts_e, c_e = read_tum(os.path.join(wd, "CameraTrajectory.txt"))
+    ts_g, c_g = read_tum(os.path.join(loopd, "groundtruth.txt"))
+    pairs = associate(ts_e, ts_g)
+    ia = [p[0] for p in pairs]
+    ib = [p[1] for p in pairs]
+    results["tum_mono_loop"] = {
+        "frames": args.frames, "tracked": len(ts_e),
+        "loops_closed": ml_loops,
+        "ate_rmse_m_scaled": (float(ate_rmse(c_e[ia], c_g[ib],
+                                             with_scale=True))
+                              if len(pairs) > 10 else float("nan"))}
+
     def fmt_rpe(r):
         if "rpe_trans_rmse_m" not in r:
             return "—"
@@ -270,6 +292,12 @@ def main():
                  f"{r['frames']} | {r['keyframes']} KFs | "
                  f"{r['ate_rmse_m_scaled']*100:.1f} cm | — | "
                  f"monocular gauge |")
+    r = results.get("tum_mono_loop")
+    if r:
+        lines.append(f"| TUM-format mono 2-lap revisit (--auto, on-device "
+                     f"loop closing, Sim3-aligned) | {r['frames']} | "
+                     f"{r['tracked']} | {r['ate_rmse_m_scaled']*100:.1f} cm "
+                     f"| — | {r['loops_closed']} loop(s) closed |")
     lines += [
         "",
         "Reference bars (BASELINE.md, paper values on real datasets): "

@@ -31,3 +31,26 @@ class TestHammingPallas:
         d2 = jnp.zeros((1, 8), jnp.uint32).at[0, 3].set(1 << 17)
         out = distance_matrix_pallas(d1, d2, interpret=True)
         assert int(out[0, 0]) == 1
+
+
+class TestHammingGemm:
+    """The TPU-path distance matrix is an exact +-1 bit-GEMM
+    (hamming = (256 - a.b)/2, f32 accumulation of +-1 products). Pinned
+    bit-exact against the XOR+popcount reference on every backend."""
+
+    def test_gemm_equals_popcount(self):
+        from orb_slam2_with_comment_tpu.ops import hamming
+        rng = np.random.default_rng(3)
+        a = jnp.asarray(rng.integers(0, 2**32, (157, 8), dtype=np.uint32))
+        b = jnp.asarray(rng.integers(0, 2**32, (203, 8), dtype=np.uint32))
+        ref = np.asarray(hamming._distance_matrix_xla(a, b))
+        gem = np.asarray(hamming._distance_matrix_gemm(a, b))
+        np.testing.assert_array_equal(ref, gem)
+
+    def test_gemm_extremes(self):
+        from orb_slam2_with_comment_tpu.ops import hamming
+        zeros = jnp.zeros((1, 8), jnp.uint32)
+        ones = jnp.full((1, 8), 0xFFFFFFFF, jnp.uint32)
+        d = np.asarray(hamming._distance_matrix_gemm(
+            jnp.concatenate([zeros, ones]), jnp.concatenate([zeros, ones])))
+        np.testing.assert_array_equal(d, [[0, 256], [256, 0]])
