@@ -407,8 +407,15 @@ class LoopCloser:
         wgt = jnp.where(obs_valid & m.lm_valid[:Lp, None],
                         msearch.inv_sigma2_at(octv), 0.0)
         fixed = jnp.zeros(Pp, bool).at[0].set(True) | ~m.kf_valid[:Pp]
-        prob = ba.BAProblem(m.kf_R[:Pp], m.kf_t[:Pp], m.lm_pw[:Lp],
-                            kf_idx, uvr, wgt, fixed, m.lm_valid[:Lp])
+        # COPY the sliced map arrays: at Pp == K (or Lp == L) `x[:n]`
+        # returns the live array itself, and the tracker's next donated
+        # step deletes that buffer under the snapshot ("Array has been
+        # deleted" on the second GBA chunk). Snapshot semantics require
+        # the copy regardless (the live map evolves while GBA runs).
+        cp = lambda a: jnp.array(a, copy=True)
+        prob = ba.BAProblem(cp(m.kf_R[:Pp]), cp(m.kf_t[:Pp]),
+                            cp(m.lm_pw[:Lp]),
+                            kf_idx, uvr, wgt, fixed, cp(m.lm_valid[:Lp]))
         return prob, Pp, Lp
 
     def _start_gba(self, m: MapState):

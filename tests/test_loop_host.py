@@ -229,3 +229,42 @@ class TestChunkedGBA:
         valid = np.asarray(m.kf_valid)
         closer.remap_slots(rank, valid)
         assert not closer.gba_running()
+
+
+def test_gba_snapshot_survives_map_donation():
+    """_build_gba_problem must COPY the sliced map arrays: at Pp == K the
+    slice x[:K] aliases the live array, and the tracker's next donated
+    step deletes it mid-GBA (regression: 'Array has been deleted' on the
+    second poll_gba chunk during the 500-frame fixture run)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from orb_slam2_with_comment_tpu.mapstate.map import MapConfig, empty_map
+    from orb_slam2_with_comment_tpu.pipeline.loop_closing import LoopCloser
+    from orb_slam2_with_comment_tpu.place.database import KeyFrameDatabase
+    from orb_slam2_with_comment_tpu.place.vocabulary import (
+        load_default_vocabulary)
+    from orb_slam2_with_comment_tpu.optim.residuals import CamParams
+
+    cfg = MapConfig(k_max=8, n_feat=64, l_max=1024, d_max=4)
+    m = empty_map(cfg)
+    m = m._replace(kf_valid=jnp.ones(8, bool), n_kf=jnp.int32(8),
+                   lm_valid=jnp.arange(1024) < 900, n_lm=jnp.int32(900),
+                   lm_pw=jnp.ones((1024, 3)) * jnp.array([0.0, 0.0, 5.0]))
+    cam = CamParams(*[jnp.float32(v) for v in (500., 500., 320., 240., 40.)])
+    db = KeyFrameDatabase(load_default_vocabulary(as_numpy=True), 8)
+    lc = LoopCloser(cam, db)
+    lc._start_gba(m)
+    assert lc._gba["Pp"] == 8  # full capacity -> slice would alias
+    # simulate the tracker's donated step deleting the live buffers
+    for leaf in (m.kf_R, m.kf_t, m.lm_pw, m.lm_valid):
+        leaf.delete()
+    out = None
+    for _ in range(8):
+        out = lc.poll_gba(m._replace(
+            kf_R=jnp.tile(jnp.eye(3), (8, 1, 1)), kf_t=jnp.zeros((8, 3)),
+            lm_pw=jnp.zeros((1024, 3)), lm_valid=jnp.arange(1024) < 900))
+        if out is not None:
+            break
+    assert out is not None
+    assert np.isfinite(np.asarray(out.kf_t)).all()
