@@ -675,6 +675,19 @@ def build_auto_step(extractor: OrbExtractor, cfg: TrackerConfig,
         res2, m2 = steps.track_local_map(
             cam, m, feats, tr.lm, tr.R, tr.t, local_mask,
             jnp.float32(10.0), width, height, desc_th)
+
+        # escalation round 2 (reference Tracking.cc:1727-1747): when the
+        # refill lands in [30, 50) inliers, search again in a NARROWER
+        # window (th=3) with a stricter descriptor gate (ORBdist=64) and
+        # re-optimize — host parity (tracking.py _relocalize round 2)
+        def escalate(_):
+            return steps.track_local_map(
+                cam, m2, feats, res2.lm, res2.R, res2.t, local_mask,
+                jnp.float32(3.0), width, height, jnp.int32(64))
+
+        res2, m2 = jax.lax.cond(
+            (res2.n_inliers >= 30) & (res2.n_inliers < 50),
+            escalate, lambda _: (res2, m2), None)
         ok = (has_cand & (n_m >= 15) & (res.n_inliers >= 10)
               & (tr.n_inliers >= 10) & (res2.n_inliers >= 50))
         s = s._replace(loop=s.loop._replace(key=key))

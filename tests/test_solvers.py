@@ -56,6 +56,25 @@ class TestPnP:
         assert np.linalg.norm(C_est - C_gt) < 0.05
         assert np.asarray(res.inliers)[:30].sum() <= 3
 
+    def test_near_planar_scene(self):
+        # the degenerate geometry the full beta-case EPnP exists for
+        # (reference PnPsolver.cc:562-652): landmarks on an almost flat
+        # wall. The single-beta shortcut loses rank here; the case-2/3
+        # seeds + Gauss-Newton keep recall.
+        n = 120
+        X = rng.uniform([-3, -2, 6.0], [3, 2, 6.02], (n, 3)).astype(np.float32)
+        R_gt, t_gt = (np.asarray(a) for a in se3.exp_se3(
+            jnp.asarray([0.25, -0.15, 0.1, 0.1, -0.05, 0.03])))
+        uv, _ = project(X, R_gt, t_gt)
+        uv += rng.randn(n, 2).astype(np.float32) * 0.3
+        res = pnp.solve_ransac(
+            jax.random.PRNGKey(7), K, jnp.asarray(X), jnp.asarray(uv),
+            jnp.ones(n, jnp.float32), jnp.ones(n, bool), max_iters=200)
+        assert int(res.n_inliers) > 80
+        C_est = -np.asarray(res.R).T @ np.asarray(res.t)
+        C_gt = -R_gt.T @ t_gt
+        assert np.linalg.norm(C_est - C_gt) < 0.08
+
 
 class TestSim3Ransac:
     def test_recovers_sim3_with_outliers(self):
