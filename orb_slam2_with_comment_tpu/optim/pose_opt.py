@@ -25,7 +25,6 @@ from .residuals import (
     HUBER_MONO,
     HUBER_STEREO,
     huber_weight,
-    reproj_jacobians,
     reproj_residual,
 )
 
@@ -41,6 +40,43 @@ class PoseOptResult(NamedTuple):
 def _per_obs_chi2(cam, R, t, Xw, obs_uvr, inv_sigma2):
     e, _, _ = reproj_residual(cam, R, t, Xw, obs_uvr)
     return jnp.sum(e * e, axis=-1) * inv_sigma2
+
+
+def _pose_components_T(cam, R, t, XwT, obsT, srow):
+    """Residual + pose Jacobian in [row, N] / [row, 6, N] plane layout.
+
+    The [N, 3, 6] layout of reproj_jacobians pads its (3, 6) minors to
+    (8, 128) TPU tiles and lowers the 3x3 @ 3x6 products as [N]-batched
+    MXU micro-dots; keeping N minor makes every step fused VPU plane
+    arithmetic and the normal equations one big-K GEMM (same rewrite as
+    optim.ba._obs_components, ~2.5x on v5e)."""
+    x = R[0, 0] * XwT[0] + R[0, 1] * XwT[1] + R[0, 2] * XwT[2] + t[0]
+    y = R[1, 0] * XwT[0] + R[1, 1] * XwT[1] + R[1, 2] * XwT[2] + t[1]
+    z = R[2, 0] * XwT[0] + R[2, 1] * XwT[1] + R[2, 2] * XwT[2] + t[2]
+    z = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    iz = 1.0 / z
+    iz2 = iz * iz
+    u = cam.fx * x * iz + cam.cx
+    v = cam.fy * y * iz + cam.cy
+    ur = u - cam.bf * iz
+    e = jnp.stack([obsT[0] - u, obsT[1] - v, (obsT[2] - ur) * srow])
+    zero = jnp.zeros_like(x)
+    Jproj = jnp.stack([
+        jnp.stack([cam.fx * iz, zero, -cam.fx * x * iz2]),
+        jnp.stack([zero, cam.fy * iz, -cam.fy * y * iz2]),
+        jnp.stack([(cam.fx * iz) * srow, zero,
+                   (-cam.fx * x * iz2 + cam.bf * iz2) * srow]),
+    ])  # [3, 3, N]
+    one = jnp.ones_like(x)
+    Xc = jnp.stack([x, y, z])
+    dXc_dxi = jnp.stack([
+        jnp.stack([one, zero, zero, zero, Xc[2], -Xc[1]]),
+        jnp.stack([zero, one, zero, -Xc[2], zero, Xc[0]]),
+        jnp.stack([zero, zero, one, Xc[1], -Xc[0], zero]),
+    ])  # [3, 6, N]  ([I | -hat(Xc)])
+    Jp = -sum(Jproj[:, m][:, None] * dXc_dxi[m][None, :]
+              for m in range(3))  # [3, 6, N]
+    return e, Jp
 
 
 def optimize_pose(
@@ -68,6 +104,9 @@ def optimize_pose(
     chi2_th = jnp.where(is_stereo, CHI2_STEREO, CHI2_MONO)
     delta = jnp.where(is_stereo, HUBER_STEREO, HUBER_MONO)
     valid = valid.astype(jnp.bool_)
+    XwT = Xw.T  # [3, N]
+    obsT = obs_uvr.T  # [3, N]
+    srow = is_stereo.astype(obs_uvr.dtype)
 
     def lm_iteration(state, sched):
         """sched = (robust_flag, kernel_scale). kernel_scale > 1 in early
@@ -78,12 +117,16 @@ def optimize_pose(
         reference's standard kernel for the final rounds."""
         robust, kscale = sched
         R, t, lam, inlier = state
-        e, Jp, _ = reproj_jacobians(cam, R, t, Xw, obs_uvr)
-        chi2_i = jnp.sum(e * e, axis=-1) * inv_sigma2
+        e, Jp = _pose_components_T(cam, R, t, XwT, obsT, srow)
+        chi2_i = jnp.sum(e * e, axis=0) * inv_sigma2  # [N]
         w_rob = jnp.where(robust, huber_weight(chi2_i, delta * kscale), 1.0)
-        w = jnp.where(valid & inlier, inv_sigma2 * w_rob, 0.0)
-        H = jnp.einsum("nri,n,nrj->ij", Jp, w, Jp)
-        b = jnp.einsum("nri,n,nr->i", Jp, w, e)
+        w = jnp.where(valid & inlier, inv_sigma2 * w_rob, 0.0)  # [N]
+        wJp = Jp * w  # [3, 6, N]
+        # normal equations as one big-K GEMM ([6, 3N] @ [3N, 6])
+        H = jnp.einsum("rin,rjn->ij", wJp, Jp,
+                       precision=jax.lax.Precision.HIGHEST)
+        b = jnp.einsum("rin,rn->i", wJp, e,
+                       precision=jax.lax.Precision.HIGHEST)
         D = jnp.diag(jnp.clip(jnp.diagonal(H), 1e-6, None))
         delta_xi = -jnp.linalg.solve(H + lam * D, b)
         R_new, t_new = se3.retract(R, t, delta_xi)
