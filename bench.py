@@ -151,6 +151,42 @@ def main():
         tracker_st.sync()
         st_rates.append(n_frames / (time.perf_counter() - t0))
 
+    # --- KITTI-geometry stereo (VERDICT r3 #3): 1241x376, 2000 features,
+    # the reference's KITTI 00-02 camera (Examples/Stereo/KITTI00-02.yaml:
+    # fx=718.856, bf=386.14 -> 53.7 cm baseline). One build pass
+    # (compile+map) then timed steady-state passes.
+    KW, KH, KFX, KCX, KCY, KBF = 1241, 376, 718.856, 607.1928, 185.2157, 386.1448
+    n_kitti = max(20, n_frames // 2)
+    frames_kt = []
+    for (R, t) in poses[:n_kitti]:
+        left, _ = world.render(np.asarray(R), np.asarray(t),
+                               fx=KFX, fy=KFX, cx=KCX, cy=KCY,
+                               width=KW, height=KH)
+        right, _ = world.render(
+            np.asarray(R),
+            np.asarray(t) - np.array([KBF / KFX, 0, 0], np.float32),
+            fx=KFX, fy=KFX, cx=KCX, cy=KCY, width=KW, height=KH)
+        frames_kt.append((np.clip(left, 0, 255).astype(np.uint8),
+                          np.clip(right, 0, 255).astype(np.uint8)))
+    cfg_kt = TrackerConfig(
+        sensor="stereo", n_features=2000, min_init_features=200,
+        fx=KFX, fy=KFX, cx=KCX, cy=KCY, bf=KBF,
+        width=KW, height=KH,
+        map_cfg=MapConfig(k_max=24, n_feat=2000, l_max=8000, d_max=8),
+        fps=10)
+    tracker_kt = AutoTracker(cfg_kt, AutoTrackerConfig(
+        traj_capacity=8 * n_kitti, batch_frames=4))
+    for left, right in frames_kt:
+        tracker_kt.process_stereo(left, right)
+    tracker_kt.sync()
+    kt_rates = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for left, right in frames_kt:
+            tracker_kt.process_stereo(left, right)
+        tracker_kt.sync()
+        kt_rates.append(n_kitti / (time.perf_counter() - t0))
+
     # --- monocular throughput (VERDICT r3 #8): on-device H/F two-view
     # bootstrap + triangulation-only mapping, same orbit.
     cfg_mono = TrackerConfig(
@@ -192,6 +228,9 @@ def main():
     out_st = tracker_st.finalize()
     if out_st["initialized"] and out_st["lost_at"] < 0:
         extra["stereo_fps"] = round(float(np.median(st_rates)), 2)
+    out_kt = tracker_kt.finalize()
+    if out_kt["initialized"] and out_kt["lost_at"] < 0:
+        extra["stereo_kitti_fps"] = round(float(np.median(kt_rates)), 2)
     out_mono = tracker_mono.finalize()
     if out_mono["initialized"] and out_mono["lost_at"] < 0:
         extra["mono_fps"] = round(float(np.median(mono_rates)), 2)
