@@ -88,43 +88,32 @@ def _inv3x3(M: jax.Array) -> jax.Array:
     return adj * inv_det[..., None, None]
 
 
-def _obs_components(cam, prob: BAProblem, G_dlp, R, t, X):
-    """Per-observation residual + Jacobian COMPONENTS in [.., D, L] layout.
+def _plane_components(cam, Robs, tobs, obsT, X):
+    """Residual + Jacobian planes from per-observation pose rows.
 
-    TPU tiles the last two array dims to (8, 128); the naive [L, D, 3, 6]
-    Jacobian tensors pad their (3, 6) minors ~20x, turning every fusion in
-    the LM iteration into ~100 MB of HBM traffic (measured: 8.4 ms per
-    iteration). All per-observation quantities here keep the LARGE dims
-    minor — scalars are [D, L], stacked components lead — so nothing pads.
+    Robs [3,3,D,L], tobs [3,D,L], obsT [3,D,L], X [L,3] ->
+    (e [3,D,L], Jp [3,6,D,L], Jl [3,3,D,L], stereo_row [D,L]).
 
-    Returns (e [3,D,L], Jp [3,6,D,L], Jl [3,3,D,L], stereo_row [D,L]).
+    All per-observation math is [D, L]-plane arithmetic with the tiny
+    (3-long) contractions unrolled in Python — einsum lowers those to
+    [D*L]-batched MXU micro-dots (~2.5x slower each, measured on v5e),
+    and the naive [L, D, 3, 6] layout pads its (3, 6) minors to (8, 128)
+    TPU tiles (~20x HBM traffic).
     """
-    L, D = prob.obs_w.shape
-    P = R.shape[0]
-    # Per-observation pose rows in ONE fat GEMM [D*L, P] @ [P, 12] (the
-    # one-hot means this is the gather; the einsum form
-    # "dlp,pli->idl" is a [24]-contraction batched over L — measured
-    # 0.23 ms vs 0.09 ms for this formulation on v5e):
-    Gf = G_dlp.reshape(D * L, P)
-    RT = jnp.concatenate([R.reshape(P, 9), t], axis=1)  # [P, 12]
-    RTobs = (Gf @ RT).reshape(D, L, 12)
-    Robs = RTobs[..., :9].reshape(D, L, 3, 3).transpose(2, 3, 0, 1)  # [3,3,D,L]
-    tobs = RTobs[..., 9:]  # [D, L, 3]
     # camera-frame points as unrolled 3x3 matvec on [D, L] planes
     Xc = jnp.stack([
-        sum(Robs[i, j] * X[:, j] for j in range(3)) + tobs[..., i]
+        sum(Robs[i, j] * X[:, j] for j in range(3)) + tobs[i]
         for i in range(3)])  # [3, D, L]
     x, y, z = Xc[0], Xc[1], Xc[2]
     z = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
     iz = 1.0 / z
     iz2 = iz * iz
-    obs = prob.obs_uvr.transpose(2, 1, 0)  # [3, D, L]
-    stereo = obs[2] >= 0
+    stereo = obsT[2] >= 0
     srow = stereo.astype(jnp.float32)
     u = cam.fx * x * iz + cam.cx
     v = cam.fy * y * iz + cam.cy
     ur = u - cam.bf * iz
-    e = jnp.stack([obs[0] - u, obs[1] - v, (obs[2] - ur) * srow])
+    e = jnp.stack([obsT[0] - u, obsT[1] - v, (obsT[2] - ur) * srow])
     zero = jnp.zeros_like(x)
     # dproj/dXc rows (u, v, ur), [3, 3, D, L]
     Jproj = jnp.stack([
@@ -134,6 +123,7 @@ def _obs_components(cam, prob: BAProblem, G_dlp, R, t, X):
                    (-cam.fx * x * iz2 + cam.bf * iz2) * srow]),
     ])
     # d e/d xi = -Jproj @ [I | -hat(Xc)]  ([3, 6, D, L])
+    D_, L_ = x.shape
     hatX = jnp.stack([
         jnp.stack([zero, -Xc[2], Xc[1]]),
         jnp.stack([Xc[2], zero, -Xc[0]]),
@@ -141,17 +131,44 @@ def _obs_components(cam, prob: BAProblem, G_dlp, R, t, X):
     ])  # [3, 3, D, L]
     dXc_dxi = jnp.concatenate(
         [jnp.broadcast_to(
-            jnp.eye(3, dtype=x.dtype)[:, :, None, None], (3, 3, D, L)),
+            jnp.eye(3, dtype=x.dtype)[:, :, None, None], (3, 3, D_, L_)),
          -hatX], axis=1)  # [3, 6, D, L]
-    # tiny per-observation matmuls with the 3-long contraction unrolled in
-    # Python: each term is a fused [.., D, L]-plane multiply-add on the VPU
-    # (einsum lowers these to [D*L]-batched MXU micro-dots, ~2.5x slower)
     Jp = -sum(Jproj[:, m][:, None] * dXc_dxi[m][None, :]
               for m in range(3))  # [3,6,D,L]
-    # d e/d Xw = -Jproj @ R_obs (R_obs from the fat GEMM above)
+    # d e/d Xw = -Jproj @ R_obs
     Jl = -sum(Jproj[:, m][:, None] * Robs[m][None, :]
               for m in range(3))  # [3,3,D,L]
     return e, Jp, Jl, srow
+
+
+def _obs_components(cam, prob: BAProblem, G_dlp, R, t, X):
+    """Per-observation residual + Jacobian COMPONENTS in [.., D, L] layout
+    (see _plane_components), pose rows gathered through the one-hot as ONE
+    fat GEMM [D*L, P] @ [P, 12] — the einsum form "dlp,pli->idl" is a
+    [24]-contraction batched over L (measured 0.23 ms vs 0.09 ms)."""
+    L, D = prob.obs_w.shape
+    P = R.shape[0]
+    Gf = G_dlp.reshape(D * L, P)
+    RT = jnp.concatenate([R.reshape(P, 9), t], axis=1)  # [P, 12]
+    RTobs = (Gf @ RT).reshape(D, L, 12)
+    Robs = RTobs[..., :9].reshape(D, L, 3, 3).transpose(2, 3, 0, 1)  # [3,3,D,L]
+    tobs = RTobs[..., 9:].transpose(2, 0, 1)  # [3, D, L]
+    obsT = prob.obs_uvr.transpose(2, 1, 0)  # [3, D, L]
+    return _plane_components(cam, Robs, tobs, obsT, X)
+
+
+def _obs_components_gather(cam, prob: BAProblem, R, t, X):
+    """Per-observation components in [.., D, L] layout with pose rows
+    fetched by ROW GATHER instead of the one-hot GEMM — O(L*D) memory in
+    P, for the dataset-scale CG path where a [D, L, P] one-hot would be
+    hundreds of MB (P ~ 10^3)."""
+    RT = jnp.concatenate([R.reshape(R.shape[0], 9), t], axis=1)  # [P, 12]
+    RTobs = RT[prob.obs_pose]  # [L, D, 12]
+    RTf = RTobs.transpose(2, 1, 0)  # [12, D, L]
+    Robs = RTf[:9].reshape(3, 3, *RTf.shape[1:])
+    tobs = RTf[9:]
+    obsT = prob.obs_uvr.transpose(2, 1, 0)
+    return _plane_components(cam, Robs, tobs, obsT, X)
 
 
 def _eval_chi2_T(cam, prob: BAProblem, G_dlp, w_active, R, t, X):
@@ -372,62 +389,75 @@ def ba_solve_cg(
     init_lambda: float = 1e-4,
 ) -> BAResult:
     """LM bundle adjustment with CG-on-Schur (see module comment above)."""
-    from .residuals import reproj_jacobians
-
     P = prob.R.shape[0]
     L, D = prob.obs_w.shape
     flat_pose = prob.obs_pose.reshape(-1)
-    is_stereo = prob.obs_uvr[..., 2] >= 0
-    delta_h = jnp.where(is_stereo, HUBER_STEREO, HUBER_MONO)
+    is_stereo_T = prob.obs_uvr[..., 2].T >= 0  # [D, L]
+    delta_h = jnp.where(is_stereo_T, HUBER_STEREO, HUBER_MONO)
     active = (prob.obs_w > 0) & prob.point_valid[:, None]
-    w_active = jnp.where(active, prob.obs_w, 0.0)
+    w_active = jnp.where(active, prob.obs_w, 0.0).T  # [D, L]
     free_pose = ~prob.pose_fixed
+    free_obs = free_pose[prob.obs_pose].astype(jnp.float32).T  # [D, L]
     hi = jax.lax.Precision.HIGH
 
     def chi2_at(R, t, X):
-        Rp, tp = R[prob.obs_pose], t[prob.obs_pose]
-        Xc = jnp.einsum("ldij,lj->ldi", Rp, X) + tp
-        z = jnp.where(jnp.abs(Xc[..., 2]) < 1e-9, 1e-9, Xc[..., 2])
+        # [L, D] for the public obs_chi2 contract
+        return _eval_chi2_gather_T(cam, prob, w_active, R, t, X).T
+
+    def _eval_chi2_gather_T(cam_, prob_, w_act, R, t, X):
+        RT = jnp.concatenate([R.reshape(P, 9), t], axis=1)
+        RTf = RT[prob_.obs_pose].transpose(2, 1, 0)  # [12, D, L]
+        Robs = RTf[:9].reshape(3, 3, D, L)
+        tobs = RTf[9:]
+        Xc = jnp.stack([
+            sum(Robs[i, j] * X[:, j] for j in range(3)) + tobs[i]
+            for i in range(3)])
+        z = jnp.where(jnp.abs(Xc[2]) < 1e-9, 1e-9, Xc[2])
         iz = 1.0 / z
-        u = cam.fx * Xc[..., 0] * iz + cam.cx
-        v = cam.fy * Xc[..., 1] * iz + cam.cy
-        ur = u - cam.bf * iz
-        srow = is_stereo.astype(jnp.float32)
-        e2 = ((prob.obs_uvr[..., 0] - u) ** 2
-              + (prob.obs_uvr[..., 1] - v) ** 2
-              + ((prob.obs_uvr[..., 2] - ur) * srow) ** 2)
-        return e2 * w_active
+        obsT = prob_.obs_uvr.transpose(2, 1, 0)
+        srow = (obsT[2] >= 0).astype(jnp.float32)
+        u = cam_.fx * Xc[0] * iz + cam_.cx
+        v = cam_.fy * Xc[1] * iz + cam_.cy
+        ur = u - cam_.bf * iz
+        e2 = ((obsT[0] - u) ** 2 + (obsT[1] - v) ** 2
+              + ((obsT[2] - ur) * srow) ** 2)
+        return e2 * w_act
 
     def iteration(carry, _):
         R, t, X, lam = carry
-        Rp, tp = R[prob.obs_pose], t[prob.obs_pose]
-        e, Jp, Jl = reproj_jacobians(cam, Rp, tp, X[:, None, :],
-                                     prob.obs_uvr)
-        chi2_i = jnp.sum(e * e, axis=-1) * prob.obs_w
-        w_rob = huber_weight(chi2_i, delta_h) if robust \
-            else jnp.ones_like(chi2_i)
-        w = w_active * w_rob  # [L, D]
-        Jp = Jp * free_pose[prob.obs_pose].astype(Jp.dtype)[..., None, None]
-        wJp = w[..., None, None] * Jp
-        wJl = w[..., None, None] * Jl
-        # landmark-side blocks: einsums over the slot axis (no scatters)
-        Hll = jnp.einsum("ldri,ldrj->lij", wJl, Jl, precision=hi)
-        bl = jnp.einsum("ldri,ldr->li", wJl, e, precision=hi)
+        e, Jp, Jl, _ = _obs_components_gather(cam, prob, R, t, X)
+        # e [3,D,L], Jp [3,6,D,L], Jl [3,3,D,L]
+        chi2_i = jnp.sum(e * e, axis=0) * prob.obs_w.T  # [D, L]
+        w_rob = (huber_weight(chi2_i, delta_h) if robust
+                 else jnp.ones_like(chi2_i))
+        w = w_active * w_rob  # [D, L]
+        Jp = Jp * free_obs
+        wJp = Jp * w
+        wJl = Jl * w
+        # landmark-side blocks: unrolled plane contractions (no scatters)
+        Hll = sum(wJl[r, :, None, d] * Jl[r, None, :, d]
+                  for r in range(3) for d in range(D))  # [3,3,L]
+        bl = sum(wJl[r, :, d] * e[r, d][None]
+                 for r in range(3) for d in range(D))  # [3, L]
+        Y = sum(wJp[r][:, None] * Jl[r][None, :]
+                for r in range(3))  # [6,3,D,L]
         # pose-side diagonal blocks: ONE segment-sum over observations
+        Zpp = sum(wJp[r][:, None] * Jp[r][None, :]
+                  for r in range(3))  # [6,6,D,L]
         Hpp = jax.ops.segment_sum(
-            jnp.einsum("ldri,ldrj->ldij", wJp, Jp,
-                       precision=hi).reshape(-1, 6, 6),
+            Zpp.transpose(3, 2, 0, 1).reshape(-1, 6, 6),
             flat_pose, num_segments=P)
+        zbp = sum(wJp[r] * e[r][None] for r in range(3))  # [6, D, L]
         bp = jax.ops.segment_sum(
-            jnp.einsum("ldri,ldr->ldi", wJp, e,
-                       precision=hi).reshape(-1, 6),
+            zbp.transpose(2, 1, 0).reshape(-1, 6),
             flat_pose, num_segments=P)
-        Y = jnp.einsum("ldri,ldrj->ldij", wJp, Jl, precision=hi)  # [L,D,6,3]
-        diag_ll = jnp.clip(jnp.diagonal(Hll, axis1=-2, axis2=-1), 1e-6, None)
-        Hll_d = Hll + lam * diag_ll[..., None] * jnp.eye(3, dtype=Hll.dtype)
-        Hll_d = jnp.where(prob.point_valid[:, None, None], Hll_d,
-                          jnp.eye(3, dtype=Hll.dtype))
-        Hll_inv = _inv3x3(Hll_d)
+        diag_ll = jnp.clip(jnp.stack([Hll[0, 0], Hll[1, 1], Hll[2, 2]]),
+                           1e-6, None)  # [3, L]
+        eye3L = jnp.eye(3, dtype=Hll.dtype)[:, :, None]
+        Hll_d = Hll + lam * diag_ll[None, :, :] * eye3L
+        Hll_d = jnp.where(prob.point_valid, Hll_d, eye3L)
+        Hll_inv = _inv3x3(Hll_d.transpose(2, 0, 1)).transpose(1, 2, 0)
+        # [3,3,L]
         diag_pp = jnp.clip(jnp.diagonal(Hpp, axis1=-2, axis2=-1), 1e-6, None)
         Hpp_d = Hpp + lam * jax.vmap(jnp.diag)(diag_pp)
         eye6 = jnp.eye(6, dtype=Hpp.dtype)
@@ -435,21 +465,25 @@ def ba_solve_cg(
         Minv = _batched_inv6(Hpp_d)  # block-Jacobi preconditioner
 
         def S_mv(v):  # v [P, 6] -> S v
-            vp = v[prob.obs_pose]  # [L, D, 6]
-            a = jnp.einsum("ldij,ldi->lj", Y, vp, precision=hi)  # [L, 3]
-            y = jnp.einsum("lij,lj->li", Hll_inv, a, precision=hi)
-            c = jnp.einsum("ldij,lj->ldi", Y, y, precision=hi)  # [L, D, 6]
-            s = jax.ops.segment_sum(c.reshape(-1, 6), flat_pose,
-                                    num_segments=P)
+            vpT = v[prob.obs_pose].transpose(2, 1, 0)  # [6, D, L]
+            a = jnp.sum(Y * vpT[:, None], axis=(0, 2))  # [3, L]
+            y = jnp.stack([sum(Hll_inv[i, j] * a[j] for j in range(3))
+                           for i in range(3)])  # [3, L]
+            c = sum(Y[:, j] * y[j][None, None, :] for j in range(3))
+            # [6, D, L]
+            s = jax.ops.segment_sum(
+                c.transpose(2, 1, 0).reshape(-1, 6), flat_pose,
+                num_segments=P)
             out = jnp.einsum("pij,pj->pi", Hpp_d, v, precision=hi) - s
             return jnp.where(free_pose[:, None], out, v)
 
         # rhs of S dxi = -b_s with b_s = bp - Hpl Hll^-1 bl
-        yb = jnp.einsum("lij,lj->li", Hll_inv, bl, precision=hi)
+        yb = jnp.stack([sum(Hll_inv[i, j] * bl[j] for j in range(3))
+                        for i in range(3)])  # [3, L]
+        cb = sum(Y[:, j] * yb[j][None, None, :] for j in range(3))
         corr = jax.ops.segment_sum(
-            jnp.einsum("ldij,lj->ldi", Y, yb,
-                       precision=hi).reshape(-1, 6),
-            flat_pose, num_segments=P)
+            cb.transpose(2, 1, 0).reshape(-1, 6), flat_pose,
+            num_segments=P)
         b_s = jnp.where(free_pose[:, None], bp - corr, 0.0)
         rhs = -b_s
 
@@ -475,14 +509,16 @@ def ba_solve_cg(
         dxi = jnp.where(free_pose[:, None], dxi, 0.0)
 
         # back-substitute landmarks
-        Yt_dxi = jnp.einsum("ldij,ldi->lj", Y, dxi[prob.obs_pose],
-                            precision=hi)
-        dX = -jnp.einsum("lij,lj->li", Hll_inv, bl + Yt_dxi, precision=hi)
+        dxiT = dxi[prob.obs_pose].transpose(2, 1, 0)  # [6, D, L]
+        Yt_dxi = jnp.sum(Y * dxiT[:, None], axis=(0, 2))  # [3, L]
+        rhs_l = bl + Yt_dxi
+        dX = -jnp.stack([sum(Hll_inv[i, j] * rhs_l[j] for j in range(3))
+                         for i in range(3)], axis=-1)  # [L, 3]
         dX = jnp.where(prob.point_valid[:, None], dX, 0.0)
 
         R_new, t_new = se3.retract(R, t, dxi)
         X_new = X + dX
-        chi2_old = jnp.sum(jnp.where(active, chi2_i, 0.0))
+        chi2_old = jnp.sum(jnp.where(active.T, chi2_i, 0.0))
         chi2_new = jnp.sum(chi2_at(R_new, t_new, X_new))
         finite = jnp.all(jnp.isfinite(dxi)) & jnp.all(jnp.isfinite(dX))
         ok = (chi2_new < chi2_old) & finite
