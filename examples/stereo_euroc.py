@@ -57,6 +57,8 @@ def main(argv):
               f"{out['n_keyframes']} keyframes, "
               f"{out['n_loops_closed']} loops closed, "
               f"lost_at={out['lost_at']}")
+        from _util import write_run_summary
+        write_run_summary(out, dt)
         with open("CameraTrajectory.txt", "w") as f:
             f.write("\n".join(tracker.trajectory_tum()) + "\n")
         return 0

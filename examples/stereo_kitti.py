@@ -27,6 +27,11 @@ def main(argv):
     if len(argv) < 3:
         print(__doc__)
         return 1
+    kmax = None
+    if "--kmax" in argv:  # explicit capacity (e.g. force slot recycling)
+        i = argv.index("--kmax")
+        kmax = int(argv[i + 1])
+        del argv[i:i + 2]
     settings_path, seq_dir = argv[1], argv[2]
     ds = KittiDataset(seq_dir, stereo=True)
     print(f"Loaded {len(ds)} frames from {seq_dir}")
@@ -34,7 +39,8 @@ def main(argv):
         from orb_slam2_with_comment_tpu.dataio.settings import (
             load_tracker_config)
         from orb_slam2_with_comment_tpu.pipeline import AutoTracker
-        cfg = load_tracker_config(settings_path, expected_frames=len(ds))
+        cfg = load_tracker_config(settings_path, expected_frames=len(ds),
+                                  k_max=kmax)
         cfg.sensor = "stereo"
         tracker = AutoTracker(cfg)
         t0 = time.perf_counter()
@@ -48,8 +54,12 @@ def main(argv):
               f"{out['n_keyframes']} keyframes, "
               f"{out['n_loops_closed']} loops closed, "
               f"lost_at={out['lost_at']}")
+        from _util import write_run_summary
+        write_run_summary(out, dt)
+        # KITTI-format export, matching the non-auto driver
+        # (System.cc:436-486 SaveTrajectoryKITTI semantics)
         with open("CameraTrajectory.txt", "w") as f:
-            f.write("\n".join(tracker.trajectory_tum()) + "\n")
+            f.write("\n".join(tracker.trajectory_kitti()) + "\n")
         return 0
     slam = System(settings_path=settings_path, sensor=Sensor.STEREO,
                   expected_frames=len(ds))

@@ -70,7 +70,7 @@ class _Plane:
 class SyntheticWorld:
     """A textured room: back wall + floor + ceiling + two side walls."""
 
-    def __init__(self, seed=0, depth_noise=0.0):
+    def __init__(self, seed=0, depth_noise=0.0, closed=False):
         rng = np.random.RandomState(seed)
         self.depth_noise = depth_noise
         self.rng = np.random.RandomState(seed + 1)
@@ -89,6 +89,13 @@ class SyntheticWorld:
             _Plane([-W, 0, 0], [0, 0, 1], [0, 1, 0], 8.0, 2.5, rng),
             _Plane([W, 0, 0], [0, 0, 1], [0, 1, 0], 8.0, 2.5, rng),
         ]
+        if closed:
+            # front wall at z=-Z: a fully CLOSED room, so a 360-degree
+            # look-around sweep (lookout_trajectory) always faces
+            # structure — the open -z end would otherwise show empty
+            # background for part of each lap
+            self.planes.append(
+                _Plane([0, 0, -Z], [1, 0, 0], [0, 1, 0], 4.5, 2.5, rng))
         # Fronto-parallel textured "furniture" pillars at mid depth: stable,
         # matchable close structure (like TUM desk clutter). Grazing-angle
         # floor texture alone matches too poorly to constrain translation,
@@ -101,6 +108,16 @@ class SyntheticWorld:
             self.planes.append(
                 _Plane([px, py, pz], [1, 0, 0], [0, 1, 0], half, half, rng,
                        cell=0.1))
+        if closed:
+            # pillars for the other half of the sweep, facing -z
+            for _ in range(10):
+                px = rng.uniform(-1.8, 1.8)
+                py = rng.uniform(-0.9, 0.9)
+                pz = rng.uniform(-2.6, -1.1)
+                half = rng.uniform(0.18, 0.4)
+                self.planes.append(
+                    _Plane([px, py, pz], [1, 0, 0], [0, 1, 0], half, half,
+                           rng, cell=0.1))
 
     def render(self, R, t, fx=500.0, fy=500.0, cx=320.0, cy=240.0,
                width=640, height=480, z_min=0.4, dirs=None):
@@ -161,4 +178,179 @@ def orbit_trajectory(n_frames, x_amp=0.35, y_amp=0.08, z_amp=0.12,
         R = Rwc.T  # world->camera
         t = -R @ C
         poses.append((R, t.astype(np.float32)))
+    return poses
+
+
+def lookout_trajectory(n_frames, laps=2.0, radius=0.8, y_amp=0.05,
+                       center=(0.0, 0.0, 0.0)):
+    """Outward-looking circular sweep inside a CLOSED room
+    (SyntheticWorld(closed=True)): the camera rides a circle of
+    ``radius`` gazing radially outward, so view content rotates through
+    the full 360 degrees each lap. This is a GENUINE revisit trajectory:
+    keyframes from opposite phases of the lap share no content, the
+    covisibility graph to the start decays, and lap 2 re-encounters the
+    start exactly the way loop-closure datasets do (the plain
+    orbit_trajectory stares at one wall throughout, every keyframe stays
+    covisible with every other, and the detector's non-covisible
+    candidate set is correctly empty — no loop exists to close there).
+
+    Tangential motion + radial gaze also maximizes triangulation
+    parallax, the monocular mapping's operating requirement."""
+    c0 = np.asarray(center, np.float32)
+    poses = []
+    for k in range(n_frames):
+        s = laps * k / max(n_frames - 1, 1)
+        th = 2 * np.pi * s
+        out = np.array([np.sin(th), 0.0, np.cos(th)], np.float32)
+        C = c0 + radius * out
+        C[1] += y_amp * np.sin(4 * np.pi * s)
+        z = out                                   # gaze: radial outward
+        y = np.array([0.0, 1.0, 0.0], np.float32)  # y down, camera level
+        x = np.cross(y, z).astype(np.float32)
+        x /= np.linalg.norm(x)
+        Rwc = np.stack([x, y, z], axis=1)
+        R = Rwc.T.astype(np.float32)
+        t = (-R @ C).astype(np.float32)
+        poses.append((R, t))
+    return poses
+
+
+class StreetWorld:
+    """Street-scale ray-cast world: a closed rectangular city-block
+    circuit of textured facade walls (a street canyon) with ground plane
+    and fronto-facing billboards, for LONG trajectories (>=50 m) that
+    revisit their start — the operating point of KITTI-style stereo
+    drivers (reference Examples/Stereo/stereo_kitti.cc + KITTI00-02.yaml)
+    where compaction, capacity growth and loop closure all fire in one
+    run (VERDICT r4 #6).
+
+    Path rectangle half-extents (A, B) with corner radius r; walls at
+    lateral offset +-street_half from the path. Camera travels the
+    circuit counterclockwise facing the tangent."""
+
+    def __init__(self, seed=0, A=10.0, B=6.0, r=2.0, street_half=2.5,
+                 wall_half_h=1.6, y_ground=1.5):
+        rng = np.random.RandomState(seed)
+        self.A, self.B, self.r = float(A), float(B), float(r)
+        self.street_half = float(street_half)
+        planes = []
+        # inner + outer facade rectangles in the x-z plane (y vertical,
+        # y down convention: ground at +y_ground)
+        for off, fo in ((street_half, -1.0), (-street_half, +1.0)):
+            ax, bz = A + off, B + off
+            # walls: +-z sides (normal along z), +-x sides (normal along x)
+            planes += [
+                _Plane([0, 0, bz], [1, 0, 0], [0, 1, 0], ax + 0.5,
+                       wall_half_h, rng),
+                _Plane([0, 0, -bz], [1, 0, 0], [0, 1, 0], ax + 0.5,
+                       wall_half_h, rng),
+                _Plane([ax, 0, 0], [0, 0, 1], [0, 1, 0], bz + 0.5,
+                       wall_half_h, rng),
+                _Plane([-ax, 0, 0], [0, 0, 1], [0, 1, 0], bz + 0.5,
+                       wall_half_h, rng),
+            ]
+        # ground plane covering the whole block
+        planes.append(_Plane([0, y_ground, 0], [1, 0, 0], [0, 0, 1],
+                             A + street_half + 1, B + street_half + 1,
+                             rng))
+        # billboards: small planes with normals ALONG the street (fronto-
+        # parallel to a camera driving toward them — grazing-angle facade
+        # texture alone matches too poorly to constrain translation, same
+        # reason the room world carries pillars)
+        for sgn in (1.0, -1.0):
+            # boards along the +-z straights face along x
+            for xb in np.arange(-A + 1.0, A - 0.5, 2.0):
+                for zoff in (B - street_half + 0.7, B + street_half - 0.7):
+                    planes.append(_Plane(
+                        [xb, rng.uniform(-0.5, 0.5), sgn * zoff],
+                        [0, 0, sgn], [0, 1, 0],
+                        rng.uniform(0.3, 0.55), rng.uniform(0.3, 0.55),
+                        rng, cell=0.12))
+            # boards along the +-x straights face along z
+            for zb in np.arange(-B + 1.0, B - 0.5, 2.0):
+                for xoff in (A - street_half + 0.7, A + street_half - 0.7):
+                    planes.append(_Plane(
+                        [sgn * xoff, rng.uniform(-0.5, 0.5), zb],
+                        [sgn, 0, 0], [0, 1, 0],
+                        rng.uniform(0.3, 0.55), rng.uniform(0.3, 0.55),
+                        rng, cell=0.12))
+        self.planes = planes
+        self.depth_noise = 0.0
+        self.rng = np.random.RandomState(seed + 1)
+
+    render = SyntheticWorld.render
+
+    def perimeter(self):
+        A, B, r = self.A, self.B, self.r
+        return 4 * (A - r) + 4 * (B - r) + 2 * np.pi * r
+
+    def circuit_pose(self, s):
+        """Arclength s -> (C world position [3], theta heading). The
+        path is the rounded rectangle of half-extents (A, B), corner
+        radius r, traversed counterclockwise (as seen with y down)."""
+        A, B, r = self.A, self.B, self.r
+        lx, lz = 2 * (A - r), 2 * (B - r)  # straight lengths
+        qa = 0.5 * np.pi * r  # quarter-arc length
+        P = self.perimeter()
+        s = np.fmod(s, P)
+        # segments: +z straight (x: -A+r..A-r), arc, +x side (z: B-r..-B+r),
+        # arc, -z straight, arc, -x side, arc
+        segs = [lx, qa, lz, qa, lx, qa, lz, qa]
+        c = 0.0
+        for i, L in enumerate(segs):
+            if s <= c + L or i == 7:
+                u = s - c
+                break
+            c += L
+        if i == 0:   # along +x at z=+B
+            C = np.array([-A + r + u, 0.0, B])
+            th = 0.5 * np.pi  # heading +x
+        elif i == 1:  # corner (+A-r, +B-r), turning +x -> -z
+            ang = u / r
+            C = np.array([A - r + r * np.sin(ang), 0.0,
+                          B - r + r * np.cos(ang)])
+            th = 0.5 * np.pi + ang
+        elif i == 2:  # along -z at x=+A
+            C = np.array([A, 0.0, B - r - u])
+            th = np.pi
+        elif i == 3:  # corner (+A-r, -B+r), -z -> -x
+            ang = u / r
+            C = np.array([A - r + r * np.cos(ang), 0.0,
+                          -B + r - r * np.sin(ang)])
+            th = np.pi + ang
+        elif i == 4:  # along -x at z=-B
+            C = np.array([A - r - u, 0.0, -B])
+            th = 1.5 * np.pi
+        elif i == 5:  # corner (-A+r, -B+r), -x -> +z
+            ang = u / r
+            C = np.array([-A + r - r * np.sin(ang), 0.0,
+                          -B + r - r * np.cos(ang)])
+            th = 1.5 * np.pi + ang
+        elif i == 6:  # along +z at x=-A
+            C = np.array([-A, 0.0, -B + r + u])
+            th = 0.0
+        else:        # corner (-A+r, +B-r), +z -> +x
+            ang = u / r
+            C = np.array([-A + r - r * np.cos(ang), 0.0,
+                          B - r + r * np.sin(ang)])
+            th = ang
+        return C.astype(np.float32), float(np.fmod(th, 2 * np.pi))
+
+
+def street_trajectory(world: StreetWorld, n_frames, laps=1.05):
+    """world->camera (R, t) along the street circuit; laps > 1 revisits
+    the start so the loop detector has a genuine reobservation."""
+    total = world.perimeter() * laps
+    poses = []
+    for k in range(n_frames):
+        s = total * k / max(n_frames - 1, 1)
+        C, th = world.circuit_pose(s)
+        ct, st_ = np.cos(th), np.sin(th)
+        fwd = np.array([st_, 0.0, ct], np.float32)       # heading
+        down = np.array([0.0, 1.0, 0.0], np.float32)
+        right = np.cross(down, fwd).astype(np.float32)   # y x z = x
+        Rwc = np.stack([right, down, fwd], axis=1)       # columns
+        R = Rwc.T
+        t = (-R @ C).astype(np.float32)
+        poses.append((R.astype(np.float32), t))
     return poses

@@ -677,16 +677,17 @@ def build_auto_step(extractor: OrbExtractor, cfg: TrackerConfig,
             jnp.float32(10.0), width, height, desc_th)
 
         # escalation round 2 (reference Tracking.cc:1727-1747): when the
-        # refill lands in [30, 50) inliers, search again in a NARROWER
-        # window (th=3) with a stricter descriptor gate (ORBdist=64) and
-        # re-optimize — host parity (tracking.py _relocalize round 2)
+        # refill lands in (30, 50) inliers (strict, nGood>30&&nGood<50),
+        # search again in a NARROWER window (th=3) with a stricter
+        # descriptor gate (ORBdist=64) and re-optimize — host parity
+        # (tracking.py _relocalize round 2)
         def escalate(_):
             return steps.track_local_map(
                 cam, m2, feats, res2.lm, res2.R, res2.t, local_mask,
                 jnp.float32(3.0), width, height, jnp.int32(64))
 
         res2, m2 = jax.lax.cond(
-            (res2.n_inliers >= 30) & (res2.n_inliers < 50),
+            (res2.n_inliers > 30) & (res2.n_inliers < 50),
             escalate, lambda _: (res2, m2), None)
         ok = (has_cand & (n_m >= 15) & (res.n_inliers >= 10)
               & (tr.n_inliers >= 10) & (res2.n_inliers >= 50))
@@ -963,9 +964,10 @@ class AutoTracker:
         host = jax.device_get(
             (s.traj_R, s.traj_t, s.traj_Rcr, s.traj_tcr, s.traj_ref,
              s.traj_valid, s.traj_stats, s.lost, s.initialized, s.map.n_kf,
-             s.loop.n_loops, s.map.n_obs_drop))
+             s.loop.n_loops, s.map.n_obs_drop, s.n_compact_kf,
+             s.n_compact_lm))
         (R, t, Rcr, tcr, ref, valid, stats, lost, initialized, n_kf,
-         n_loops, n_obs_drop) = host
+         n_loops, n_obs_drop, n_compact_kf, n_compact_lm) = host
         if n <= T:
             order = np.arange(n)
         else:  # ring wrapped: oldest surviving frame first
@@ -982,7 +984,26 @@ class AutoTracker:
             # observation-slot saturation (reference MapPoint.cc:98-109 is
             # unbounded; this counts what fixed D slots dropped)
             "n_obs_dropped": int(n_obs_drop),
+            # on-device lifecycle events (slot-recycling compactions)
+            "n_compact_kf": int(n_compact_kf),
+            "n_compact_lm": int(n_compact_lm),
         }
+
+    def trajectory_kitti(self) -> list[str]:
+        """KITTI-format lines (row-major camera->world 3x4 per frame),
+        like the reference's SaveTrajectoryKITTI (System.cc:436-486)."""
+        out = self.finalize()
+        lines = []
+        for i in range(len(out["timestamps"])):
+            if not out["valid"][i]:
+                continue
+            R = out["R"][i]
+            t = out["t"][i]
+            Rwc = R.T
+            twc = -R.T @ t
+            P = np.hstack([Rwc, twc[:, None]]).reshape(-1)
+            lines.append(" ".join(f"{v:.9e}" for v in P))
+        return lines
 
     def trajectory_tum(self) -> list[str]:
         """TUM-format lines (timestamp tx ty tz qx qy qz qw), camera->world

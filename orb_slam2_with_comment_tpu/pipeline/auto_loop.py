@@ -55,6 +55,12 @@ C_MAX = 4  # candidate groups tracked for consistency
 CONSISTENCY_TH = 3  # reference mnCovisibilityConsistencyTh
 MIN_GAP = 10  # keyframes between loops (reference LoopClosing.cc:116)
 
+# OSLAM_LOOP_DEBUG=1 prints every detection/Sim3 gate decision via
+# jax.debug.print (diagnosis aid; zero cost when unset — the prints are
+# simply not traced in)
+import os as _os
+_LOOP_DEBUG = bool(int(_os.environ.get("OSLAM_LOOP_DEBUG", "0")))
+
 
 class LoopCarry(NamedTuple):
     """Device-resident loop-closing state (part of AutoState)."""
@@ -169,6 +175,15 @@ def detect(loop: LoopCarry, m: MapState, kf,
     # earliest accepted candidate (they are score-ordered)
     first = jnp.argmax(accepted.astype(jnp.int32))
     cand = jnp.where(jnp.any(accepted), cand_i[first], jnp.int32(-1))
+    if _LOOP_DEBUG:
+        jax.debug.print(
+            "[loopdbg] detect kf={kf} min_s={ms:.4f} best_s={bs:.4f} "
+            "n_gated={ng} n_keep={nk} cand_s={cs} counts={c} gap_ok={g} "
+            "cand={cand}", kf=kf, ms=min_score,
+            bs=jnp.max(jnp.where(live & ~covis_row, s, -1.0)),
+            ng=jnp.sum(gated.astype(jnp.int32)),
+            nk=jnp.sum(keep.astype(jnp.int32)), cs=cand_s, c=counts + 1,
+            g=gap_ok, cand=cand)
     loop = loop._replace(
         prev_groups=jnp.where(gap_ok, groups, jnp.zeros_like(groups)),
         prev_counts=jnp.where(gap_ok, counts, jnp.zeros_like(counts)),
@@ -297,6 +312,13 @@ def _sim3_solve(loop: LoopCarry, m: MapState, cam, kf, cand,
         1.0 / s2_1, 1.0 / s2_2g, valid_g, iters=10, fix_scale=fix_scale)
     ok = ((n_matches >= 20) & (res.n_inliers >= 20)
           & (ref.n_inliers >= 20))  # reference :333,408
+    if _LOOP_DEBUG:
+        jax.debug.print(
+            "[loopdbg] sim3 kf={kf} cand={cand} n_lm1={n1} n_lm2={n2} "
+            "n_bow={nm} ransac_inl={ri} ref_inl={fi} s={s:.4f} ok={ok}",
+            kf=kf, cand=cand, n1=jnp.sum(has1.astype(jnp.int32)),
+            n2=jnp.sum(has2.astype(jnp.int32)), nm=n_matches,
+            ri=res.n_inliers, fi=ref.n_inliers, s=ref.s, ok=ok)
     # matched landmark pairs for the correction's Replace pass
     pair_ok = ref.inliers & valid_g & (l1 != l2g)
     lm_cur = jnp.where(pair_ok, l1, -1)
@@ -336,6 +358,14 @@ def _correct(m: MapState, cam, kf, cand, R12, t12, s12, fix_scale: bool,
     kf_R = jnp.where(gm[:, None, None], Ri, m.kf_R)
     kf_t = jnp.where(gm[:, None], ti / jnp.clip(si, 1e-9, None)[:, None],
                      m.kf_t)
+    # Full CORRECTED Sim3 per group vertex (reference CorrectedSim3 map,
+    # LoopClosing.cc:532-545): the essential graph must see the scale
+    # part of the correction or it cannot distribute monocular scale
+    # drift around the loop (Optimizer.cc:860-886 inserts vScw with
+    # si != 1 for corrected vertices). For fix_scale=True s12 is 1, so
+    # these equal the SE3 arrays and nothing changes.
+    t_sim = jnp.where(gm[:, None], ti, m.kf_t)
+    s_sim = jnp.where(gm, si, jnp.ones(K))
     lm_ref_in_group = gm[jnp.clip(m.lm_ref_kf, 0, K - 1)] & m.lm_valid
     pw_corr = sim3.transform(Rg, tg, sg, m.lm_pw)
     lm_pw = jnp.where(lm_ref_in_group[:, None], pw_corr, m.lm_pw)
@@ -418,31 +448,45 @@ def _correct(m: MapState, cam, kf, cand, R12, t12, s12, fix_scale: bool,
             jnp.zeros(ci.shape[0], bool), jnp.zeros(K - 1, bool),
             flat_ok, jnp.ones(1, bool)])
     # measurements: pre-propagation poses everywhere EXCEPT loop edges,
-    # which carry the new (corrected) constraint
+    # which carry the new (corrected) constraint as a FULL Sim3 — the
+    # scale ratio of the loop edge is what drives the 7th dof when
+    # fix_scale=False (reference Optimizer.cc:925-931: Sji from the
+    # corrected Scw entries)
     use_new = is_loop_edge[:, None, None]
     Ri_ = jnp.where(use_new, m.kf_R[e_i], R_old_all[e_i])
-    ti_ = jnp.where(use_new[:, :, 0], m.kf_t[e_i], t_old_all[e_i])
+    ti_ = jnp.where(use_new[:, :, 0], t_sim[e_i], t_old_all[e_i])
+    si_ = jnp.where(is_loop_edge, s_sim[e_i], jnp.ones_like(s_sim[e_i]))
     Rj_ = jnp.where(use_new, m.kf_R[e_j], R_old_all[e_j])
-    tj_ = jnp.where(use_new[:, :, 0], m.kf_t[e_j], t_old_all[e_j])
-    iRi, iti = se3.inverse(Ri_, ti_)
-    mR, mt = se3.compose(Rj_, tj_, iRi, iti)
+    tj_ = jnp.where(use_new[:, :, 0], t_sim[e_j], t_old_all[e_j])
+    sj_ = jnp.where(is_loop_edge, s_sim[e_j], jnp.ones_like(s_sim[e_j]))
+    iRi, iti, isi = sim3.inverse(Ri_, ti_, si_)
+    mR, mt, ms = sim3.compose(Rj_, tj_, sj_, iRi, iti, isi)
     fixed = (jnp.zeros(K, bool).at[cand].set(True) | ~m.kf_valid)
     prob = pose_graph.PoseGraphProblem(
-        m.kf_R, m.kf_t, jnp.ones(K), e_i, e_j, mR, mt,
-        jnp.ones(e_i.shape[0]), e_valid, fixed)
+        m.kf_R, t_sim, s_sim, e_i, e_j, mR, mt,
+        ms, e_valid, fixed)
     if K > 256:  # dense [K*7]^2 solve is a memory wall beyond ~256
         res = pose_graph.optimize_pose_graph_cg(prob, iters=20,
                                                 fix_scale=fix_scale)
     else:
         res = pose_graph.optimize_pose_graph(prob, iters=20,
                                              fix_scale=fix_scale)
+    # landmark re-anchoring (reference LoopClosing correct-via-reference
+    # semantics, Optimizer.cc:1061-1080): P_new = S_wr_new.map(T_rw_old
+    # .map(P)) — camera coords through the OLD reference pose, back to
+    # world through the INVERSE of the optimized Sim3, whose 1/s factor
+    # rescales the depth so the map stays metrically consistent with the
+    # corrected (t/s) poses. With all scales 1 this is the SE3 identity.
     ref_kf_ = jnp.clip(m.lm_ref_kf, 0, K - 1)
-    R_old, t_old = m.kf_R[ref_kf_], m.kf_t[ref_kf_]
-    R_new = res.R[ref_kf_]
-    t_new = res.t[ref_kf_] / jnp.clip(res.s[ref_kf_], 1e-9, None)[:, None]
-    Xc = se3.transform(R_old, t_old, m.lm_pw)
-    iRn, itn = se3.inverse(R_new, t_new)
-    pw = se3.transform(iRn, itn, Xc)
+    # forward map through the reference vertex's INITIAL Sim3 (vScw in
+    # the reference — the corrected Sim3 for group members, the old SE3
+    # elsewhere), so landmarks already corrected by the propagation are
+    # not double-moved
+    s_new = jnp.clip(res.s[ref_kf_], 1e-9, None)
+    Xc = sim3.transform(m.kf_R[ref_kf_], t_sim[ref_kf_], s_sim[ref_kf_],
+                        m.lm_pw)
+    iRn, itn = se3.inverse(res.R[ref_kf_], res.t[ref_kf_])
+    pw = se3.transform(iRn, itn, Xc) / s_new[:, None]
     lm_pw = jnp.where(m.lm_valid[:, None], pw, m.lm_pw)
     kf_t_new = res.t / jnp.clip(res.s, 1e-9, None)[:, None]
     m = m._replace(kf_R=res.R, kf_t=kf_t_new, lm_pw=lm_pw)
@@ -495,9 +539,13 @@ def close_loop_step(loop: LoopCarry, m: MapState, cam, kf, voc,
             m, loop = args
             # final acceptance: loop-group landmark projection must reach
             # >= 40 total matches (reference: LoopClosing.cc:459-471)
-            _, ok40 = sim3_accept_gate(
+            total, ok40 = sim3_accept_gate(
                 m, cam, kf, cand, R12, t12, s12, matched_feats,
                 width, height)
+            if _LOOP_DEBUG:
+                jax.debug.print(
+                    "[loopdbg] gate40 kf={kf} cand={cand} total={t} "
+                    "ok40={ok}", kf=kf, cand=cand, t=total, ok=ok40)
 
             def do_correct(args):
                 m, loop = args

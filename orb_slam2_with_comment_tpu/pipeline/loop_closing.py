@@ -288,7 +288,8 @@ class LoopCloser:
         n_valid = int(valid_kf.sum())
         self.loop_edges.append((min(kf, cand), max(kf, cand)))
         if n_valid >= 4:
-            m = self._essential_graph(m, kf, cand, R_old, t_old)
+            m = self._essential_graph(m, kf, cand, R_old, t_old,
+                                      group_mask=gm, group_scale=sgi)
         m = rebuild_observations(m)
         # --- global BA (reference: new GBA thread, :711): synchronous
         # drain for the simple process() API, chunked/polled for the
@@ -303,7 +304,8 @@ class LoopCloser:
         return m
 
     def _essential_graph(self, m: MapState, kf: int, cand: int,
-                         R_old=None, t_old=None) -> MapState:
+                         R_old=None, t_old=None, group_mask=None,
+                         group_scale=None) -> MapState:
         """Essential-graph edge families (reference: Optimizer.cc:908-1053):
         (1) loop edges — current + all past accepted loops;
         (2) spanning-tree equivalent — each keyframe chained to its
@@ -338,15 +340,29 @@ class LoopCloser:
         # carries the new constraint the graph distributes
         if R_old is None:
             R_old, t_old = m.kf_R, m.kf_t
+        # vertex initial state as FULL Sim3 (reference vScw): corrected
+        # group members carry the propagation scale so the 7th dof can
+        # distribute monocular scale drift around the loop
+        # (Optimizer.cc:860-886, :925-931); all-ones when fix_scale.
+        if group_mask is not None and group_scale is not None:
+            gm_v = jnp.asarray(group_mask)
+            sg = jnp.asarray(group_scale)
+            s_sim = jnp.where(gm_v, sg, jnp.ones(K))
+            t_sim = jnp.where(gm_v[:, None], m.kf_t * s_sim[:, None],
+                              m.kf_t)
+        else:
+            s_sim = jnp.ones(K)
+            t_sim = m.kf_t
         is_loop = jnp.asarray([p == loop_pair or p in self.loop_edges[:-1]
                                for p in pairs])
         Ri = jnp.where(is_loop[:, None, None], m.kf_R[e_i], R_old[e_i])
-        ti = jnp.where(is_loop[:, None], m.kf_t[e_i], t_old[e_i])
+        ti = jnp.where(is_loop[:, None], t_sim[e_i], t_old[e_i])
+        si = jnp.where(is_loop, s_sim[e_i], jnp.ones(len(pairs)))
         Rj = jnp.where(is_loop[:, None, None], m.kf_R[e_j], R_old[e_j])
-        tj = jnp.where(is_loop[:, None], m.kf_t[e_j], t_old[e_j])
-        iRi, iti = se3.inverse(Ri, ti)
-        mR, mt = se3.compose(Rj, tj, iRi, iti)
-        ms = jnp.ones(len(pairs))
+        tj = jnp.where(is_loop[:, None], t_sim[e_j], t_old[e_j])
+        sj = jnp.where(is_loop, s_sim[e_j], jnp.ones(len(pairs)))
+        iRi, iti, isi = sim3.inverse(Ri, ti, si)
+        mR, mt, ms = sim3.compose(Rj, tj, sj, iRi, iti, isi)
         # slice the vertex set to the live prefix, pow2-bucketed (the dense
         # [N*7, N*7] pose-graph solve must not scale with map CAPACITY)
         n_kf = int(np.max(np.where(valid)[0])) + 1 if valid.any() else 1
@@ -357,7 +373,7 @@ class LoopCloser:
         fixed[cand] = True  # reference fixes ONLY the loop KF (:891-892)
         fixed[~valid[:Np]] = True
         prob = pose_graph.PoseGraphProblem(
-            m.kf_R[:Np], m.kf_t[:Np], jnp.ones(Np), e_i, e_j, mR, mt, ms,
+            m.kf_R[:Np], t_sim[:Np], s_sim[:Np], e_i, e_j, mR, mt, ms,
             jnp.ones(len(pairs), bool), jnp.asarray(fixed))
         # dense [N*7, N*7] Cholesky below ~256 vertices (all-matmul, no
         # scatters); matrix-free block-Jacobi CG beyond (the dense H is
@@ -371,14 +387,18 @@ class LoopCloser:
                 prob, iters=20, fix_scale=self.fix_scale)
         res_R = m.kf_R.at[:Np].set(res.R)
         res_t_s = res.t / jnp.clip(res.s, 1e-9, None)[:, None]
-        # re-map landmarks through their reference keyframe's correction
+        # re-map landmarks through their reference keyframe's correction:
+        # forward through the vertex's INITIAL Sim3 (vScw — the corrected
+        # Sim3 for group members), back through the OPTIMIZED inverse
+        # whose 1/s rescales depth (reference Optimizer.cc:1061-1080)
         ref = jnp.clip(m.lm_ref_kf, 0, Np - 1)
-        R_o, t_o = m.kf_R[ref], m.kf_t[ref]
+        Xc = sim3.transform(m.kf_R[ref], t_sim[ref], s_sim[ref], m.lm_pw)
         R_new = res_R[ref]
-        t_new = m.kf_t.at[:Np].set(res_t_s)[ref]
-        Xc = se3.transform(R_o, t_o, m.lm_pw)
+        t_new = m.kf_t.at[:Np].set(res.t)[ref]
+        s_den = jnp.clip(jnp.ones(K).at[:Np].set(res.s)[ref],
+                         1e-9, None)
         iRn, itn = se3.inverse(R_new, t_new)
-        pw = se3.transform(iRn, itn, Xc)
+        pw = se3.transform(iRn, itn, Xc) / s_den[:, None]
         lm_pw = jnp.where(m.lm_valid[:, None], pw, m.lm_pw)
         return m._replace(kf_R=res_R,
                           kf_t=m.kf_t.at[:Np].set(res_t_s),

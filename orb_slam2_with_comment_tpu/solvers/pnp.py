@@ -56,8 +56,13 @@ def _b10(beta: jax.Array) -> jax.Array:
 
 
 def _lstsq_nm(A: jax.Array, b: jax.Array, m: int) -> jax.Array:
-    """Tiny dense least squares via damped normal equations ([6,m] @ [m])."""
-    AtA = A.T @ A + 1e-9 * jnp.eye(m, dtype=A.dtype)
+    """Tiny dense least squares via damped normal equations ([6,m] @ [m]).
+    The ridge scales with trace(AtA)/m so the f32 solve stays
+    well-conditioned for near-planar control-point geometry (the
+    reference solves these in double via SVD/QR; ADVICE r4)."""
+    AtA = A.T @ A
+    ridge = 1e-7 * jnp.trace(AtA) / m + 1e-12
+    AtA = AtA + ridge * jnp.eye(m, dtype=A.dtype)
     return jnp.linalg.solve(AtA, A.T @ b)
 
 
@@ -128,17 +133,23 @@ def _epnp_core(Xw: jax.Array, uv: jax.Array, w: jax.Array, K):
     b0 = jnp.sqrt(jnp.abs(x1[0]))
     beta1 = jnp.concatenate([
         b0[None], x1[1:] * jnp.sign(x1[0]) / jnp.clip(b0, 1e-9, None)])
-    # case 2: x = [b11, b12, b22] from L[:, (0,1,2)]
+    # case 2: x = [b11, b12, b22] from L[:, (0,1,2)]. The b22 seed only
+    # survives when sign(b22) is consistent with sign(b11) — the
+    # reference zeroes it otherwise (find_betas_approx_2 :607-616;
+    # ADVICE r4).
     x2 = _lstsq_nm(L6[:, jnp.asarray([0, 1, 2])], rho, 3)
     b0 = jnp.sqrt(jnp.abs(x2[0]))
+    b1 = jnp.where(x2[0] * x2[2] > 0, jnp.sqrt(jnp.abs(x2[2])), 0.0)
     beta2 = jnp.stack([
-        b0, jnp.sqrt(jnp.abs(x2[2])) * jnp.sign(x2[1]) * jnp.sign(x2[0]),
+        b0, b1 * jnp.sign(x2[1]) * jnp.sign(x2[0]),
         jnp.float32(0.0), jnp.float32(0.0)])
     # case 3: x = [b11, b12, b22, b13, b23] from L[:, (0,1,2,3,4)]
+    # (same sign-consistency rule, find_betas_approx_3 :630-645)
     x3 = _lstsq_nm(L6[:, jnp.asarray([0, 1, 2, 3, 4])], rho, 5)
     b0 = jnp.sqrt(jnp.abs(x3[0]))
+    b1 = jnp.where(x3[0] * x3[2] > 0, jnp.sqrt(jnp.abs(x3[2])), 0.0)
     beta3 = jnp.stack([
-        b0, jnp.sqrt(jnp.abs(x3[2])) * jnp.sign(x3[1]) * jnp.sign(x3[0]),
+        b0, b1 * jnp.sign(x3[1]) * jnp.sign(x3[0]),
         x3[3] * jnp.sign(x3[0]) / jnp.clip(b0, 1e-9, None),
         jnp.float32(0.0)])
     betas = jnp.stack([beta1, beta2, beta3])  # [3, 4]
@@ -190,11 +201,12 @@ def solve_ransac(
     followed by the all-inlier Refine (:273-318)."""
     N = Xw.shape[0]
     fx, fy, cx, cy = K
-    nv = jnp.sum(valid.astype(jnp.int32))
-    probs = valid.astype(jnp.float32) / jnp.clip(nv, 1, None)
-    idx = jax.random.categorical(
-        key, jnp.log(jnp.clip(probs, 1e-12, None))[None, :]
-        .repeat(max_iters * sample_size, 0)).reshape(max_iters, sample_size)
+    # minimal sets WITHOUT replacement per hypothesis (Gumbel top-k over
+    # valid slots; duplicate indices in a 4-point set waste the
+    # hypothesis — ADVICE r4)
+    g = jax.random.gumbel(key, (max_iters, N))
+    g = jnp.where(valid[None, :], g, -jnp.inf)
+    _, idx = jax.lax.top_k(g, sample_size)  # [T, S] distinct per row
 
     def one(sample_idx):
         return _epnp_minimal(Xw[sample_idx], uv[sample_idx], K)

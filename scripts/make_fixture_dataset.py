@@ -104,14 +104,24 @@ ORBextractor.minThFAST: 7
 """
 
 
-def make_tum_rgbd(out_dir, n_frames=120, seed=1, fps=30.0, laps=1):
-    """laps > 1 repeats the orbit so the sequence REVISITS its start —
-    the dataset-path trajectory that exercises loop closure."""
+def make_tum_rgbd(out_dir, n_frames=120, seed=1, fps=30.0, laps=1,
+                  style="orbit"):
+    """laps > 1 makes the sequence REVISIT its start — the dataset-path
+    trajectory that exercises loop closure. style="lookout" rides an
+    outward-gazing circle in a CLOSED room (a genuine revisit: content
+    leaves the view mid-lap, so covisibility to the start decays and the
+    loop detector has real non-covisible candidates — the plain orbit
+    stares at one wall and every keyframe stays covisible, VERDICT r4
+    mono-loop diagnosis); style="orbit" is the original small arc."""
     from orb_slam2_with_comment_tpu.dataio.synthetic import (
-        SyntheticWorld, orbit_trajectory)
-    world = SyntheticWorld(seed=seed)
-    poses = orbit_trajectory(n_frames=max(n_frames // laps, 2)) * laps
-    poses = poses[:n_frames]
+        SyntheticWorld, lookout_trajectory, orbit_trajectory)
+    if style == "lookout":
+        world = SyntheticWorld(seed=seed, closed=True)
+        poses = lookout_trajectory(n_frames=n_frames, laps=float(laps))
+    else:
+        world = SyntheticWorld(seed=seed)
+        poses = orbit_trajectory(n_frames=max(n_frames // laps, 2)) * laps
+        poses = poses[:n_frames]
     os.makedirs(os.path.join(out_dir, "rgb"), exist_ok=True)
     os.makedirs(os.path.join(out_dir, "depth"), exist_ok=True)
     rgb_lines, dep_lines, gt_lines = [], [], []
@@ -167,6 +177,68 @@ def make_kitti_stereo(out_dir, n_frames=100, seed=2, fps=10.0,
     open(os.path.join(out_dir, "poses_gt.txt"), "w").write(
         "\n".join(gt_rows) + "\n")
     open(os.path.join(out_dir, "settings.yaml"), "w").write(SETTINGS_KITTI)
+    return out_dir
+
+
+SETTINGS_KITTI_REAL = """%YAML:1.0
+Camera.fx: 718.856
+Camera.fy: 718.856
+Camera.cx: 607.1928
+Camera.cy: 185.2157
+Camera.k1: 0.0
+Camera.k2: 0.0
+Camera.p1: 0.0
+Camera.p2: 0.0
+Camera.width: 1241
+Camera.height: 376
+Camera.fps: 10.0
+Camera.bf: 386.1448
+Camera.RGB: 1
+ThDepth: 35.0
+ORBextractor.nFeatures: 2000
+ORBextractor.scaleFactor: 1.2
+ORBextractor.nLevels: 8
+ORBextractor.iniThFAST: 20
+ORBextractor.minThFAST: 7
+"""
+
+
+def make_kitti_street(out_dir, n_frames=500, seed=3, fps=10.0):
+    """Street-scale KITTI-format stereo sequence (VERDICT r4 #6): a
+    ~60 m city-block circuit at the REAL KITTI 00-02 camera geometry
+    (1241x376, fx=718.856, bf=386.1448 -> 53.7 cm baseline,
+    reference Examples/Stereo/KITTI00-02.yaml), driven slightly past one
+    full lap so the sequence revisits its start."""
+    from orb_slam2_with_comment_tpu.dataio.synthetic import (
+        StreetWorld, street_trajectory)
+    world = StreetWorld(seed=seed)
+    poses = street_trajectory(world, n_frames, laps=1.08)
+    os.makedirs(os.path.join(out_dir, "image_0"), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "image_1"), exist_ok=True)
+    KFX, KCX, KCY, KBF = 718.856, 607.1928, 185.2157, 386.1448
+    cam = dict(fx=KFX, fy=KFX, cx=KCX, cy=KCY, width=1241, height=376)
+    times, gt_rows = [], []
+    for k, (R, t) in enumerate(poses):
+        # stereo right camera: t' = t - [b, 0, 0] displaces the center
+        # along the camera x axis for ANY R (t is in camera coords)
+        left, _ = world.render(R, t, **cam)
+        right, _ = world.render(
+            np.asarray(R), np.asarray(t) - np.array(
+                [KBF / KFX, 0, 0], np.float32), **cam)
+        _save_png8(os.path.join(out_dir, "image_0", f"{k:06d}.png"), left)
+        _save_png8(os.path.join(out_dir, "image_1", f"{k:06d}.png"), right)
+        times.append(f"{k / fps:.6e}")
+        Rwc = np.asarray(R).T
+        twc = -Rwc @ np.asarray(t)
+        gt_rows.append(" ".join(
+            f"{v:.9e}" for v in np.hstack(
+                [Rwc, twc[:, None]]).reshape(-1)))
+    open(os.path.join(out_dir, "times.txt"), "w").write(
+        "\n".join(times) + "\n")
+    open(os.path.join(out_dir, "poses_gt.txt"), "w").write(
+        "\n".join(gt_rows) + "\n")
+    open(os.path.join(out_dir, "settings.yaml"), "w").write(
+        SETTINGS_KITTI_REAL)
     return out_dir
 
 
@@ -303,11 +375,20 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("out_root")
     ap.add_argument("--frames", type=int, default=120)
+    ap.add_argument("--street", action="store_true",
+                    help="also render the street-scale KITTI-geometry "
+                         "circuit (kitti_street_fixture, ~60 m lap)")
+    ap.add_argument("--street-frames", type=int, default=500)
     args = ap.parse_args()
+    if args.street:
+        out = make_kitti_street(
+            os.path.join(args.out_root, "kitti_street_fixture"),
+            n_frames=args.street_frames)
+        print("wrote", out)
     tum = make_tum_rgbd(os.path.join(args.out_root, "tum_fixture"),
                         n_frames=args.frames)
     loop = make_tum_rgbd(os.path.join(args.out_root, "tum_loop_fixture"),
-                         n_frames=args.frames, laps=2)
+                         n_frames=args.frames, laps=2, style="lookout")
     kitti = make_kitti_stereo(os.path.join(args.out_root, "kitti_fixture"),
                               n_frames=max(args.frames * 5 // 6, 20))
     euroc = make_euroc_stereo(os.path.join(args.out_root, "euroc_fixture"),

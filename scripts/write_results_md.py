@@ -76,6 +76,20 @@ def main():
     done = lambda d, f="CameraTrajectory.txt": os.path.exists(traj(d, f)) \
         and os.path.getsize(traj(d, f)) > 0
 
+    def run_loops(d, order_idx):
+        """Loops-closed count for run dir ``d``: prefer the driver's own
+        run_summary.json (exact attribution); fall back to the shared
+        log's line order only when the summary is absent (ADVICE r4)."""
+        p = traj(d, "run_summary.json")
+        if os.path.exists(p):
+            try:
+                import json
+                return json.load(open(p))["n_loops_closed"]
+            except (ValueError, KeyError):
+                pass
+        return (loops_by_order[order_idx]
+                if len(loops_by_order) > order_idx else "?")
+
     pending = []
     if done("run_tum"):
         m = tum_metrics(traj("run_tum"),
@@ -88,7 +102,7 @@ def main():
     if done("run_tum_loop"):
         m = tum_metrics(traj("run_tum_loop"),
                         os.path.join(root, "tum_loop_fixture/groundtruth.txt"))
-        nl = loops_by_order[0] if loops_by_order else "?"
+        nl = run_loops("run_tum_loop", 0)
         row("TUM-format RGB-D 2-lap revisit (--auto, on-device loop closing)",
             args.frames, m["tracked"], f"{m['ate_rmse_m']*100:.1f} cm",
             m.get("rpe", "—"), f"{nl} loop(s) closed")
@@ -138,7 +152,7 @@ def main():
         pairs = associate(ts_e, ts_g)
         ia = [p[0] for p in pairs]
         ib = [p[1] for p in pairs]
-        nl = loops_by_order[1] if len(loops_by_order) > 1 else "?"
+        nl = run_loops("run_mono_loop", 1)
         from orb_slam2_with_comment_tpu.evaluation.ate import ate_rmse as _a
         ate = (f"{float(_a(c_e[ia], c_g[ib], with_scale=True))*100:.1f} cm"
                if len(pairs) > 10 else "n/a")
