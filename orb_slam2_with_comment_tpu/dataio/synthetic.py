@@ -78,16 +78,20 @@ class SyntheticWorld:
         # corner noise maps to 2-6 mm of depth-scaled pose noise (a 5-7 m
         # room is "hard mode" — 1 px there is worth 10-14 mm).
         W, H, Z = 2.2, 1.2, 3.2  # room half-width, half-height, wall distance
+        # closed mode is built for CLOSE viewing (lookout_trajectory puts
+        # walls 1-2.5 m away): 0.3 m texture cells subtend ~100 px there
+        # and FAST finds almost no level-0 corners — use fine cells
+        wc = 0.12 if closed else 0.3  # wall texture cell
         self.planes = [
             # back wall at z=Z, facing the camera
-            _Plane([0, 0, Z], [1, 0, 0], [0, 1, 0], 4.5, 2.5, rng),
+            _Plane([0, 0, Z], [1, 0, 0], [0, 1, 0], 4.5, 2.5, rng, cell=wc),
             # floor y=+H (y down in camera convention at identity)
-            _Plane([0, H, 0], [1, 0, 0], [0, 0, 1], 4.5, 8.0, rng),
+            _Plane([0, H, 0], [1, 0, 0], [0, 0, 1], 4.5, 8.0, rng, cell=wc),
             # ceiling y=-H
-            _Plane([0, -H, 0], [1, 0, 0], [0, 0, 1], 4.5, 8.0, rng),
+            _Plane([0, -H, 0], [1, 0, 0], [0, 0, 1], 4.5, 8.0, rng, cell=wc),
             # left wall x=-W, right wall x=+W
-            _Plane([-W, 0, 0], [0, 0, 1], [0, 1, 0], 8.0, 2.5, rng),
-            _Plane([W, 0, 0], [0, 0, 1], [0, 1, 0], 8.0, 2.5, rng),
+            _Plane([-W, 0, 0], [0, 0, 1], [0, 1, 0], 8.0, 2.5, rng, cell=wc),
+            _Plane([W, 0, 0], [0, 0, 1], [0, 1, 0], 8.0, 2.5, rng, cell=wc),
         ]
         if closed:
             # front wall at z=-Z: a fully CLOSED room, so a 360-degree
@@ -95,11 +99,13 @@ class SyntheticWorld:
             # structure — the open -z end would otherwise show empty
             # background for part of each lap
             self.planes.append(
-                _Plane([0, 0, -Z], [1, 0, 0], [0, 1, 0], 4.5, 2.5, rng))
+                _Plane([0, 0, -Z], [1, 0, 0], [0, 1, 0], 4.5, 2.5, rng,
+                       cell=wc))
         # Fronto-parallel textured "furniture" pillars at mid depth: stable,
         # matchable close structure (like TUM desk clutter). Grazing-angle
         # floor texture alone matches too poorly to constrain translation,
         # leaving the back wall's x-vs-yaw valley in charge.
+        pc = 0.06 if closed else 0.1  # pillar texture cell
         for _ in range(14):
             px = rng.uniform(-1.8, 1.8)
             py = rng.uniform(-0.9, 0.9)
@@ -107,7 +113,7 @@ class SyntheticWorld:
             half = rng.uniform(0.18, 0.4)
             self.planes.append(
                 _Plane([px, py, pz], [1, 0, 0], [0, 1, 0], half, half, rng,
-                       cell=0.1))
+                       cell=pc))
         if closed:
             # pillars for the other half of the sweep, facing -z
             for _ in range(10):
@@ -117,7 +123,7 @@ class SyntheticWorld:
                 half = rng.uniform(0.18, 0.4)
                 self.planes.append(
                     _Plane([px, py, pz], [1, 0, 0], [0, 1, 0], half, half,
-                           rng, cell=0.1))
+                           rng, cell=pc))
 
     def render(self, R, t, fx=500.0, fy=500.0, cx=320.0, cy=240.0,
                width=640, height=480, z_min=0.4, dirs=None):

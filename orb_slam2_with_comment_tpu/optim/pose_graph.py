@@ -156,7 +156,7 @@ def optimize_pose_graph_cg(
     prob: PoseGraphProblem,
     iters: int = 20,
     fix_scale: bool = False,
-    cg_iters: int = 60,
+    cg_iters: int | None = None,
 ) -> PoseGraphResult:
     """Matrix-free essential-graph solve for dataset-scale maps.
 
@@ -168,8 +168,21 @@ def optimize_pose_graph_cg(
     (7x7 vertex blocks) preconditioned CG — memory O(E·49), matching the
     reference's sparse g2o solve (Optimizer.cc:829-1118) in structure.
     Same PoseGraphProblem layout and semantics as the dense path.
+
+    cg_iters defaults to 2N: block-Jacobi CG moves information ~one
+    vertex per iteration along the temporal chain, and a loop correction
+    is a GLOBAL mode (for monocular scale drift, literally a smooth
+    scale ramp across every vertex) — with fewer iterations than the
+    chain length, the correction stalls ~cg_iters keyframes from the
+    loop edge and the rest of the trajectory keeps its drift. The dense
+    path (and the reference's g2o sparse Cholesky, Optimizer.cc:1057)
+    solves each Gauss-Newton step exactly; 2N-iteration CG restores that
+    parity at O(E) memory. Each iteration is a handful of edge-wise
+    7-vector ops — latency-, not flop-bound.
     """
     N = prob.R.shape[0]
+    if cg_iters is None:
+        cg_iters = max(60, 2 * N)
 
     def residual_wrt_updates(xi_i, xi_j, Ri, ti, si, Rj, tj, sj,
                              mR, mt, ms):

@@ -63,6 +63,11 @@ import jax.numpy as jnp
 from ..frontend import OrbExtractor
 from ..geometry import se3
 from ..mapstate.map import MapState, empty_map
+
+# OSLAM_INIT_DEBUG=1 prints the monocular-bootstrap gate values via
+# jax.debug.print (CPU diagnosis aid; not traced in when unset)
+import os as _os
+_INIT_DEBUG = bool(int(_os.environ.get("OSLAM_INIT_DEBUG", "0")))
 from ..matching.search import FeatureSet
 from .tracking import TrackerConfig
 from . import auto_loop, steps
@@ -560,6 +565,13 @@ def build_auto_step(extractor: OrbExtractor, cfg: TrackerConfig,
                 ref.feats.xy, p2, matched)
             enough = n_match >= cfg.min_init_matches  # reference :687
             ok1 = enough & res.success
+            if _INIT_DEBUG:
+                jax.debug.print(
+                    "[initdbg] frame={f} ref={r} n_valid={nv} n_match={nm}"
+                    " success={su} n_good={ng}", f=s.frame_idx,
+                    r=s.init_frame_id, nv=n_valid, nm=n_match,
+                    su=res.success,
+                    ng=jnp.sum((res.good & matched).astype(jnp.int32)))
 
             def build(s):
                 R0, t0 = jnp.eye(3), jnp.zeros(3)

@@ -171,12 +171,21 @@ def test_correction_collapses_drift(corrected_run):
     # the loop keyframe carried the full accumulated drift; the pose graph
     # + CG-GBA must spread the correction across the whole trajectory
     assert err_before[-1] > 0.4
-    assert err_after[-1] < 0.25 * err_before[-1], (
+    assert err_after[-1] < 0.15 * err_before[-1], (
         err_before[-1], err_after[-1])
-    # aggregate drift over the second half (where drift was largest)
+    # Aggregate drift over the second half (where drift was largest).
+    # Bound calibrated against the EXACT essential-graph optimum: with a
+    # single loop edge against ~300 chain edges, the GN optimum (dense
+    # solve, or CG at its 2N-iteration default — verified equal chi2)
+    # retains ~0.5x of the mid-trajectory drift, because this constant-
+    # direction drift mode is reprojection-unobservable and only further
+    # loop edges would pin it (the reference's g2o exact solve leaves the
+    # same residual; production accumulates loop edges over time). An
+    # under-converged solver can coincidentally score LOWER here — the
+    # bound is a correctness floor, not a convergence meter.
     half = slice(K // 2, K)
     assert (np.mean(err_after[half])
-            < 0.35 * np.mean(err_before[half])), (
+            < 0.6 * np.mean(err_before[half])), (
         np.mean(err_before[half]), np.mean(err_after[half]))
 
 
