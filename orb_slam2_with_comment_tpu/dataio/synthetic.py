@@ -106,20 +106,26 @@ class SyntheticWorld:
         # floor texture alone matches too poorly to constrain translation,
         # leaving the back wall's x-vs-yaw valley in charge.
         pc = 0.06 if closed else 0.1  # pillar texture cell
-        for _ in range(14):
-            px = rng.uniform(-1.8, 1.8)
-            py = rng.uniform(-0.9, 0.9)
-            pz = rng.uniform(1.1, 2.6)
-            half = rng.uniform(0.18, 0.4)
-            self.planes.append(
-                _Plane([px, py, pz], [1, 0, 0], [0, 1, 0], half, half, rng,
-                       cell=pc))
         if closed:
-            # pillars for the other half of the sweep, facing -z
-            for _ in range(10):
+            # pillar RING facing the lookout path: clutter at EVERY gaze
+            # direction. Monocular tracking needs depth variety in every
+            # sector — the pillar-free +-x wall sectors of the forward-
+            # biased layout presented a single frontal plane and mono
+            # pose repeatedly failed there mid-sweep.
+            for j in range(22):
+                phi = 2 * np.pi * j / 22 + rng.uniform(-0.08, 0.08)
+                rr = rng.uniform(1.5, 2.0)
+                cp = [rr * np.sin(phi), rng.uniform(-0.5, 0.5),
+                      rr * np.cos(phi)]
+                ea = [np.cos(phi), 0, -np.sin(phi)]  # tangential
+                half = rng.uniform(0.15, 0.3)
+                self.planes.append(
+                    _Plane(cp, ea, [0, 1, 0], half, half, rng, cell=pc))
+        else:
+            for _ in range(14):
                 px = rng.uniform(-1.8, 1.8)
                 py = rng.uniform(-0.9, 0.9)
-                pz = rng.uniform(-2.6, -1.1)
+                pz = rng.uniform(1.1, 2.6)
                 half = rng.uniform(0.18, 0.4)
                 self.planes.append(
                     _Plane([px, py, pz], [1, 0, 0], [0, 1, 0], half, half,

@@ -340,6 +340,20 @@ def build_auto_step(extractor: OrbExtractor, cfg: TrackerConfig,
         # LocalMapping::AcceptKeyFrames) — with amortized maintenance the
         # faithful signal is "no keyframe currently under maintenance"
         c1b = s.maint_kf < 0
+        if cfg.sensor == "mono":
+            # Rotation-heavy monocular exploration cannot wait out the
+            # amortized maintenance cycle: at ~1.4 deg/frame the tracked
+            # set decays ~8 inliers/frame and a keyframe every ~8 frames
+            # (one cycle) is too slow to replenish the map — measured
+            # repeated mid-sweep tracking loss. The reference's mapping
+            # thread is idle again within milliseconds and mono inserts
+            # near-every-frame during fast motion (thRefRatio=0.9,
+            # Tracking.cc:1205), interrupting a running local BA if
+            # needed (InterruptBA, :1216-1232). Equivalent here: a
+            # mid-cycle insertion (which restarts the cycle for the new
+            # keyframe) is allowed once tracking has decayed below 70%
+            # of the reference keyframe.
+            c1b = c1b | (local_in < ref_matches * 0.7)
         c1c = (local_in < ref_matches * 0.25) | need_close
         c2 = (((local_in < ref_matches * th_ref) | need_close)
               & (local_in > 15))
@@ -411,9 +425,26 @@ def build_auto_step(extractor: OrbExtractor, cfg: TrackerConfig,
                 if cfg.sensor != "mono":
                     # close-point depth landmarks in the insert frame
                     # (reference: Tracking.cc:1271-1324 — ALSO on the
-                    # tracking thread); mono landmarks come from the
-                    # triangulation phase
+                    # tracking thread); mono landmarks come from
+                    # triangulation
                     m = steps.create_depth_landmarks(m, cam, kf, th_depth)
+                else:
+                    # monocular landmark supply must not wait for the
+                    # amortized maintenance cycle: the view advances
+                    # ~2 px/frame PER DEGREE of sweep rate, and a
+                    # triangulation that lands 2+ frames after insertion
+                    # starves tracking mid-rotation (measured: inliers
+                    # decay ~8/frame and the tracker dies ~30 frames into
+                    # a 1.4 deg/frame sweep). The reference triangulates
+                    # every keyframe synchronously in LocalMapping
+                    # (CreateNewMapPoints, LocalMapping.cc:290-577);
+                    # here the two temporal predecessors run at insert
+                    # time and the full covisibility-neighbor pass still
+                    # runs in the maintenance phase.
+                    nb = jnp.stack([kf - 1, kf - 2])
+                    nb = jnp.where((nb >= 0)
+                                   & m.kf_valid[jnp.clip(nb, 0)], nb, -1)
+                    m = steps.triangulate_with_neighbors(m, cam, kf, nb)
                 if has_voc:
                     loop = auto_loop.add_keyframe_bow(
                         loop, voc, kf, m.kf_desc[kf], m.kf_feat_valid[kf])

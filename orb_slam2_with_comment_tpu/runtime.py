@@ -14,21 +14,32 @@ import jax
 
 
 def _host_fingerprint() -> str:
-    """Hash of this host's CPU feature flags. XLA:CPU AOT executables are
+    """Hash of this host's CPU identity. XLA:CPU AOT executables are
     compiled against the build machine's feature set; loading an entry
     cached by a DIFFERENT machine (shared $HOME across heterogeneous
-    hosts) warns `cpu_aot_loader` and can SIGILL mid-suite. Keying the
-    cache directory by the flags makes foreign entries invisible."""
+    hosts) warns `cpu_aot_loader`, can SIGILL mid-suite, and — subtler —
+    can produce last-ulp float divergence between fresh and foreign-
+    compiled programs of the same computation. /proc/cpuinfo `flags`
+    alone proved insufficient (two hosts with identical flag lines
+    compiled with different XLA target features, e.g. amx-fp16); include
+    the model name and microcode revision, plus the jax version whose
+    codegen the entries embed."""
     import hashlib
+    key = []
     try:
         with open("/proc/cpuinfo") as f:
             for ln in f:
-                if ln.startswith("flags"):
-                    return hashlib.sha256(ln.encode()).hexdigest()[:12]
+                if ln.startswith(("flags", "model name", "microcode",
+                                  "stepping")):
+                    key.append(ln.strip())
+                if len(key) >= 4:
+                    break
     except OSError:
-        pass
-    import platform
-    return hashlib.sha256(platform.processor().encode()).hexdigest()[:12]
+        import platform
+        key.append(platform.processor())
+    key.append("jax=" + jax.__version__)
+    return hashlib.sha256("|".join(sorted(set(key))).encode()
+                          ).hexdigest()[:12]
 
 
 def enable_compilation_cache(path: str | None = None) -> None:

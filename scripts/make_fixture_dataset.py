@@ -105,7 +105,7 @@ ORBextractor.minThFAST: 7
 
 
 def make_tum_rgbd(out_dir, n_frames=120, seed=1, fps=30.0, laps=1,
-                  style="orbit"):
+                  style="orbit", cal_err=0.0):
     """laps > 1 makes the sequence REVISIT its start — the dataset-path
     trajectory that exercises loop closure. style="lookout" rides an
     outward-gazing circle in a CLOSED room (a genuine revisit: content
@@ -148,7 +148,21 @@ def make_tum_rgbd(out_dir, n_frames=120, seed=1, fps=30.0, laps=1,
         hdr + "\n".join(dep_lines) + "\n")
     open(os.path.join(out_dir, "groundtruth.txt"), "w").write(
         "# ts tx ty tz qx qy qz qw\n" + "\n".join(gt_lines) + "\n")
-    open(os.path.join(out_dir, "settings.yaml"), "w").write(SETTINGS_TUM)
+    settings = SETTINGS_TUM
+    if cal_err:
+        # realistic imperfect calibration: the settings file's focal
+        # length differs from the render camera's by cal_err. Every real
+        # dataset carries such error; it is what makes tracking drift
+        # ACCUMULATE and the revisit genuinely mismatch — on an exact-
+        # calibration noise-free fixture, mono/RGB-D tracking re-matches
+        # the old map through the local search on revisit and no loop
+        # closure is ever NEEDED (the reference would report 0 loops on
+        # such a sequence too)
+        settings = settings.replace(
+            "Camera.fx: 500.0", f"Camera.fx: {500.0 * (1 + cal_err):.2f}"
+        ).replace(
+            "Camera.fy: 500.0", f"Camera.fy: {500.0 * (1 + cal_err):.2f}")
+    open(os.path.join(out_dir, "settings.yaml"), "w").write(settings)
     return out_dir
 
 
@@ -388,7 +402,8 @@ def main():
     tum = make_tum_rgbd(os.path.join(args.out_root, "tum_fixture"),
                         n_frames=args.frames)
     loop = make_tum_rgbd(os.path.join(args.out_root, "tum_loop_fixture"),
-                         n_frames=args.frames, laps=2, style="lookout")
+                         n_frames=args.frames, laps=2, style="lookout",
+                         cal_err=0.015)
     kitti = make_kitti_stereo(os.path.join(args.out_root, "kitti_fixture"),
                               n_frames=max(args.frames * 5 // 6, 20))
     euroc = make_euroc_stereo(os.path.join(args.out_root, "euroc_fixture"),

@@ -45,3 +45,20 @@ def _drop_compiled_executables_between_modules():
     yield
     jax.clear_caches()
     gc.collect()
+
+
+def pytest_collection_modifyitems(config, items):
+    """Tier the suite: files that drive full pipelines (renders + many
+    XLA compiles) are marked slow; the fast tier (-m 'not slow') is the
+    per-commit gate. The FULL suite remains the default run."""
+    slow_files = {
+        "test_auto.py", "test_auto_loop.py", "test_lifecycle.py",
+        "test_loop_host.py", "test_loop_scale.py",
+        "test_mono_scale_loop.py", "test_multi_seq.py", "test_mono.py",
+        "test_pipeline_e2e.py", "test_reloc.py",
+        "test_distributed_launch.py", "test_stereo.py",
+        "test_checkpoint_viz.py", "test_solvers.py",
+    }
+    for item in items:
+        if item.fspath.basename in slow_files:
+            item.add_marker(pytest.mark.slow)
