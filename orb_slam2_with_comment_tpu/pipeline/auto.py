@@ -303,13 +303,23 @@ def build_auto_step(extractor: OrbExtractor, cfg: TrackerConfig,
         return m, loop, nbrs, lam
 
     if cfg.sensor == "mono":
+        # loop detection FIRST: monocular insertion may interrupt the
+        # cycle (c1b relaxation below), and a tail-position loop phase
+        # would be skipped for most keyframes — breaking the
+        # 3-consecutive-keyframe consistency chains, which assume every
+        # keyframe is processed (the reference's LoopClosing thread
+        # dequeues EVERY keyframe immediately, in parallel with local
+        # BA — detection-before-BA is its ordering too,
+        # LoopClosing.cc:57-78)
         maint_phases = [ph_fuse_in, ph_triangulate, ph_fuse_out, ph_merge,
                         ph_refresh_cull, ph_ba1, ph_ba2]
+        if do_loops:
+            maint_phases = [ph_loop] + maint_phases
     else:
         maint_phases = [ph_fuse_in, ph_fuse_out, ph_merge,
                         ph_refresh_cull, ph_ba1, ph_ba2]
-    if do_loops:
-        maint_phases = maint_phases + [ph_loop]
+        if do_loops:
+            maint_phases = maint_phases + [ph_loop]
     n_phases = len(maint_phases)
 
     def do_track(s: AutoState, feats: FeatureSet, d) -> AutoState:

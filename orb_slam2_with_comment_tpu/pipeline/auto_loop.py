@@ -313,11 +313,18 @@ def _sim3_solve(loop: LoopCarry, m: MapState, cam, kf, cand,
     ok = ((n_matches >= 20) & (res.n_inliers >= 20)
           & (ref.n_inliers >= 20))  # reference :333,408
     if _LOOP_DEBUG:
+        _, _, m_all = msearch.search_brute(
+            m.kf_desc[kf], m.kf_desc[cand], m.kf_feat_valid[kf],
+            m.kf_feat_valid[cand], ratio=0.75,
+            angle_q=m.kf_angle[kf], angle_t=m.kf_angle[cand])
         jax.debug.print(
-            "[loopdbg] sim3 kf={kf} cand={cand} n_lm1={n1} n_lm2={n2} "
-            "n_bow={nm} ransac_inl={ri} ref_inl={fi} s={s:.4f} ok={ok}",
-            kf=kf, cand=cand, n1=jnp.sum(has1.astype(jnp.int32)),
+            "[loopdbg] sim3 kf={kf}(f{fk}) cand={cand}(f{fc}) n_lm1={n1} "
+            "n_lm2={n2} n_bow={nm} n_unmasked={nu} ransac_inl={ri} "
+            "ref_inl={fi} s={s:.4f} ok={ok}",
+            kf=kf, cand=cand, fk=m.kf_frame_id[kf],
+            fc=m.kf_frame_id[cand], n1=jnp.sum(has1.astype(jnp.int32)),
             n2=jnp.sum(has2.astype(jnp.int32)), nm=n_matches,
+            nu=jnp.sum(m_all.astype(jnp.int32)),
             ri=res.n_inliers, fi=ref.n_inliers, s=ref.s, ok=ok)
     # matched landmark pairs for the correction's Replace pass
     pair_ok = ref.inliers & valid_g & (l1 != l2g)
