@@ -194,8 +194,14 @@ def main():
     # same doubling): at 1000 features the level-0 budget starves the
     # init window matcher below its >=100-match gate and the run never
     # initializes (the r4 missing-mono_fps failure).
+    # min_init_matches=60: the synthetic-corner-density bootstrap gates
+    # the fixture settings files already document (Init.minMatches — the
+    # orbit's consecutive-frame init matching tops out at ~95 matches at
+    # this motion, under the reference-strength 100 gate tuned for real
+    # imagery's >400 corners; measured via OSLAM_INIT_DEBUG).
     cfg_mono = TrackerConfig(
         sensor="mono", n_features=2000, min_init_features=200,
+        min_init_matches=60,
         map_cfg=MapConfig(k_max=24, n_feat=2000, l_max=8000, d_max=8),
         fps=30)
     tracker_mono = AutoTracker(cfg_mono, AutoTrackerConfig(
